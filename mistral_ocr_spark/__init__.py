@@ -1,0 +1,21 @@
+"""mistral_ocr_spark — a PySpark-native document-extraction engine.
+
+A from-scratch, in-cluster re-expression of the capability surface of the
+reference CLI client (stevegsax/mistral-ocr: submit / track / retrieve /
+search of per-document text extraction — see SURVEY.md). The remote OCR
+call becomes a deterministic, vectorized main-content extractor running
+inside Spark executors over Arrow batches; the SQLite job/result/lineage
+store becomes Spark tables behind an atomic-manifest table format; the CLI
+verbs become Spark SQL queries.
+
+Design tenets (scale-first):
+- DataFrame/SQL plans everywhere; Catalyst does pushdown/pruning/join
+  selection. Python only inside ``mapInArrow`` batches (never per-row UDFs).
+- Explicit skew handling: salted repartition on url-host hash.
+- Idempotent, checkpoint-resumable commits: per-chunk atomic manifest
+  covering data + lineage, so a killed job resumes exactly-once per url.
+"""
+
+EXTRACTOR_VERSION = "1.0.0"
+
+__all__ = ["EXTRACTOR_VERSION"]

@@ -1,0 +1,193 @@
+"""Deterministic synthetic ``pages`` fixtures (FIXTURES.md §1).
+
+Two generators:
+
+1. ``pages_from_documents`` — wraps the driver's ``documents`` parquet rows
+   in a fixed HTML shell using *pure Spark SQL expressions* (JVM-side, no
+   Python). Because the shell is fixed and the expected extraction is
+   expressible in ANSI SQL, the whole extractor becomes DuckDB-oracle
+   checkable end-to-end (the flagship correctness gate).
+
+2. ``generate_pages`` — standalone Common-Crawl-style corpus from
+   ``spark.range``: seeded Zipf-ish host distribution with one deliberately
+   hot host (≥30% of rows — exercises salted repartitioning, FIXTURES.md),
+   multi-block HTML, and edge rows (empty body, malformed nesting, latin-1
+   bytes, %PDF magic, NULL html with fallback text). Deterministic in row
+   id via arithmetic hashing — independent of partitioning, so any two runs
+   at any parallelism generate identical rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mistral_ocr_spark.sources.tables import PAGES_SCHEMA
+
+# ---------------------------------------------------------------------------
+# 1. SQL-expressible corpus over the driver's documents table
+# ---------------------------------------------------------------------------
+
+#: SQL (both Spark and DuckDB dialects) for the canonical url of doc_id.
+URL_SQL = "'https://host-' || (doc_id % 50) || '.example.com/doc-' || doc_id || '.html'"
+
+#: DuckDB-side expectation of the extracted text for pages_from_documents.
+#: Extractor whitespace policy == collapse runs to one space + strip.
+ORACLE_TEXT_SQL = (
+    "'Doc ' || doc_id || chr(10) || chr(10) || trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+)
+ORACLE_MD_SQL = (
+    "'# Doc ' || doc_id || chr(10) || chr(10) || trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+)
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text, lang, …) → pages(url, warc_ts, html, text, lang).
+
+    The HTML shell carries realistic boilerplate (nav/header/footer with
+    high link density) around an <article> with an <h1> and the document
+    text in one <p> (HTML-escaped; the parser unescapes, so the text
+    round-trips byte-identically).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    esc = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"),
+        ">",
+        "&gt;",
+    )
+    html_str = F.concat(
+        F.lit(
+            "<html><head><title>Synthetic Corpus</title></head><body>"
+            '<nav><ul><li><a href="/">Home</a></li>'
+            '<li><a href="/search">Search</a></li>'
+            '<li><a href="/login">Login</a></li></ul></nav>'
+            '<header><a href="/">corpus.example</a></header>'
+            "<article><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        esc,
+        F.lit(
+            "</p></article>"
+            '<footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a>'
+            "</footer></body></html>"
+        ),
+    )
+    return docs.select(
+        F.expr(URL_SQL).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 10:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Standalone skewed corpus with edge rows
+# ---------------------------------------------------------------------------
+
+_VOCAB = (
+    "the quick brown fox jumps over lazy dog spark shuffle partition salt "
+    "merge lineage extract block density heading paragraph anchor crawl "
+    "warc host domain page content boiler plate nav footer table list "
+    "stream batch arrow codegen catalyst tungsten broadcast skew hash"
+).split()
+
+_HOT_HOST = "hot.example.com"
+
+# knuth multiplicative hashing constants (public domain folklore)
+_K1 = 2654435761
+_K2 = 40503
+_MOD = 2**32
+
+
+def _h(x: int) -> int:
+    return (x * _K1 + 0x9E3779B9) % _MOD
+
+
+def _words(doc_id: int, para: int, n: int) -> str:
+    base = _h(doc_id * 31 + para * 7)
+    v = len(_VOCAB)
+    return " ".join(_VOCAB[(base + j * _K2) % v] for j in range(n))
+
+
+def _make_page(i: int) -> tuple[str, bytes | None, str | None, str]:
+    """Return (url, html, fallback_text, lang) for row id i. Pure in i."""
+    h = _h(i)
+    if i % 10 < 3:  # deliberately hot host: 30% of rows
+        host = _HOT_HOST
+    else:
+        host = f"host-{h % 997}.example.com"
+    url = f"https://{host}/page-{i}.html"
+    lang = ("en", "de", "fr", "zz")[i % 4]
+
+    if i % 109 == 1:  # NULL html → fallback text path
+        return url, None, _words(i, 0, 12), lang
+    if i % 103 == 1:  # fake PDF with text objects
+        body = _words(i, 0, 10)
+        pdf = b"%PDF-1.4\n1 0 obj\nBT (" + body.encode("latin-1") + b") Tj ET\nendobj\n"
+        return url, pdf, None, lang
+    if i % 97 == 1:  # empty body
+        return url, b"<html><head><title>t</title></head><body></body></html>", None, lang
+
+    n_paras = 1 + i % 4
+    paras = []
+    for p in range(n_paras):
+        paras.append(f"<p>{_words(i, p, 8 + (h + p * 13) % 25)}</p>")
+    maybe_list = ""
+    if i % 5 == 0:
+        items = "".join(f"<li>{_words(i, 90 + j, 6)}</li>" for j in range(3))
+        maybe_list = f"<ul>{items}</ul>"
+    malformed = "<div><p>" if i % 89 == 1 else ""  # unclosed tags edge
+    doc = (
+        "<html><head><title>Page</title></head><body>"
+        '<nav><ul><li><a href="/">Home</a></li><li><a href="/a">A</a></li>'
+        '<li><a href="/b">B</a></li></ul></nav>'
+        f"<article><h2>Section {i % 7}</h2>{malformed}"
+        f"{''.join(paras)}{maybe_list}</article>"
+        '<footer><a href="/t">T</a> <a href="/p">P</a></footer></body></html>'
+    )
+    if i % 101 == 1:  # latin-1 bytes with declared charset
+        doc = doc.replace("<head>", '<head><meta charset="iso-8859-1">')
+        doc = doc.replace("<h2>", "<h2>café ")
+        return url, doc.encode("latin-1"), None, lang
+    return url, doc.encode("utf-8"), None, lang
+
+
+def _gen_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1, 10, 0, 0)
+    for batch in batches:
+        ids = batch.column("id").to_pylist()
+        urls, htmls, texts, langs, tss = [], [], [], [], []
+        for i in ids:
+            url, html, text, lang = _make_page(i)
+            urls.append(url)
+            htmls.append(html)
+            texts.append(text)
+            langs.append(lang)
+            tss.append(base + _dt.timedelta(seconds=i % 86400))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(tss, pa.timestamp("us")),
+                pa.array(htmls, pa.binary()),
+                pa.array(texts, pa.string()),
+                pa.array(langs, pa.string()),
+            ],
+            names=["url", "warc_ts", "html", "text", "lang"],
+        )
+
+
+def generate_pages(spark: SparkSession, n_rows: int, partitions: int = 32) -> DataFrame:
+    """Seeded Common-Crawl-style pages corpus (see module docstring)."""
+    rng = spark.range(0, n_rows, 1, partitions)
+    return rng.mapInArrow(_gen_batches, PAGES_SCHEMA)
