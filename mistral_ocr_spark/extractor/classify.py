@@ -27,6 +27,10 @@ def _density_rule(prev_w: int, prev_ld: float, curr: Block, next_w: int) -> bool
     """NumWordsRules decision list on shallow text features."""
     if curr.link_density > _MAX_LINK_DENSITY:
         return False
+    if curr.words > 25:
+        # Absolute override: a long low-link-density block is content no
+        # matter the neighborhood (guards trailing paragraphs after nav).
+        return True
     if prev_ld <= 0.555556:
         return curr.words > 16 or next_w > 15 or prev_w > 4
     return curr.words > 40 or next_w > 17

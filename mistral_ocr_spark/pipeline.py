@@ -1,0 +1,151 @@
+"""The extraction pipeline: scan → resume → salted repartition →
+mapInArrow extract → atomic commit of results + per-partition lineage.
+
+Spark-native re-expression of the reference's submit/track/retrieve loop
+(/root/reference/src/mistral_ocr/simple_client.py:378-536). A "batch job"
+becomes a *chunk* — a deterministic hash-slice of the input keyspace —
+and the 100-docs-per-request partitioning rule (README.md:380-392) becomes
+partition sizing inside each chunk. Crash-resume semantics mirror the
+reference's cache-first idempotency (simple_client.py:481-483): committed
+chunks are never reprocessed, and a chunk is either fully committed
+(data + lineage, one atomic manifest swap) or invisible.
+
+Scale design (100 TB / 10^12 rows):
+- chunk predicate ``pmod(xxhash64(url), n_chunks)`` is deterministic in the
+  data, independent of partitioning/executor count → resume is exact on a
+  1000-executor cluster too.
+- **salted repartition on url-host hash** defuses crawl-domain skew: hot
+  hosts (one host can be >30% of a crawl) are spread across
+  ``salt_buckets`` partitions while typical hosts stay co-located, which
+  keeps any later per-host aggregation cheap and bounds task stragglers.
+- extraction itself is map-only (no shuffle besides the explicit
+  repartition); lineage aggregation reads back the just-written parquet
+  (column-pruned: url + counters) instead of recomputing the extraction.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mistral_ocr_spark import EXTRACTOR_VERSION
+from mistral_ocr_spark.operators.extract import extract_pages
+from mistral_ocr_spark.sources import catalog
+
+
+def salted_repartition(
+    pages: DataFrame, num_partitions: int, salt_buckets: int | None = None
+) -> DataFrame:
+    """Repartition on (host-hash, salt) — SURVEY.md §4.2 point 1.
+
+    Plain ``repartition(n, host)`` would put an entire hot host in one
+    task; adding ``pmod(xxhash64(url), salt_buckets)`` splits each host
+    across up to ``salt_buckets`` partitions while keeping the shuffle a
+    single exchange. Default salt fan-out is 4× the partition count so a
+    single pathological host (30%+ of a crawl) still spreads ~uniformly
+    over all partitions rather than landing on salt_buckets of them.
+    """
+    if salt_buckets is None:
+        salt_buckets = 4 * num_partitions
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+    return pages.repartition(num_partitions, F.xxhash64(host), salt)
+
+
+def _lineage_from_written(
+    spark: SparkSession,
+    data_files: list[str],
+    run_id: str,
+    chunk_id: int,
+    started_at: _dt.datetime,
+) -> DataFrame:
+    """Per-partition lineage rows aggregated from the written chunk.
+
+    Reads back only (url, html_bytes, error_class, partition_id) — column
+    pruning keeps this a cheap scan of what was just written, instead of
+    recomputing the extraction.
+    """
+    ext = spark.read.parquet(*data_files).select(
+        "url", "html_bytes", "error_class", "partition_id"
+    )
+    completed = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    return ext.groupBy("partition_id").agg(
+        F.min("url").alias("url_min"),
+        F.max("url").alias("url_max"),
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("html_bytes").alias("byte_count"),
+        F.sum(F.when(F.col("error_class").isNull(), 1).otherwise(0)).alias("succeeded"),
+        F.sum(F.when(F.col("error_class").isNotNull(), 1).otherwise(0)).alias("failed"),
+    ).select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(chunk_id).cast("int").alias("chunk_id"),
+        F.col("partition_id"),
+        "url_min",
+        "url_max",
+        "doc_count",
+        "byte_count",
+        "succeeded",
+        "failed",
+        F.lit(EXTRACTOR_VERSION).alias("extractor_version"),
+        F.lit("complete").alias("status"),
+        F.lit(started_at).alias("started_at"),
+        F.lit(completed).alias("completed_at"),
+    )
+
+
+def run(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_root: str,
+    run_id: str = "run-0001",
+    n_chunks: int = 4,
+    num_partitions: int | None = None,
+    salt_buckets: int | None = None,
+    max_chunks: int | None = None,
+) -> dict:
+    """Run (or resume) an extraction over ``pages`` into ``out_root``.
+
+    ``max_chunks`` stops after committing that many chunks this invocation
+    — the hook the kill/resume tests use to simulate a mid-job crash.
+
+    Returns run stats: {"chunks_done", "chunks_skipped", "docs", "seconds"}.
+    """
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    os.makedirs(out_root, exist_ok=True)
+    done = catalog.committed_chunks(out_root, run_id)
+    stats = {"chunks_done": 0, "chunks_skipped": len(done), "docs": 0, "seconds": 0.0}
+    t0 = time.time()
+    chunk_expr = F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks))
+
+    for chunk in range(n_chunks):
+        if chunk in done:
+            continue
+        if max_chunks is not None and stats["chunks_done"] >= max_chunks:
+            break
+        started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        chunk_pages = pages.filter(chunk_expr == chunk)
+        extracted = extract_pages(
+            salted_repartition(chunk_pages, num_partitions, salt_buckets)
+        )
+        data_path = os.path.join(out_root, "data", f"run={run_id}", f"chunk={chunk}")
+        extracted.write.mode("overwrite").parquet(data_path)
+        data_files = catalog.list_parquet_files(data_path)
+
+        lineage = _lineage_from_written(spark, data_files, run_id, chunk, started)
+        lin_path = os.path.join(out_root, "lineage", f"run={run_id}", f"chunk={chunk}")
+        lineage.coalesce(1).write.mode("overwrite").parquet(lin_path)
+        lin_files = catalog.list_parquet_files(lin_path)
+
+        catalog.commit_chunk(out_root, run_id, chunk, data_files, lin_files)
+        stats["chunks_done"] += 1
+
+    stats["seconds"] = time.time() - t0
+    if stats["chunks_done"]:
+        lin = catalog.read_lineage(spark, out_root).filter(F.col("run_id") == run_id)
+        stats["docs"] = lin.agg(F.sum("doc_count")).collect()[0][0] or 0
+    return stats

@@ -1,0 +1,121 @@
+"""Pure-function extractor tests (golden strings + edge cases).
+
+Models the reference's content-assertion style
+(/root/reference/tests/unit/test_simple_client.py:364-393: parse the
+emitted artifact and assert exact fields).
+"""
+
+from __future__ import annotations
+
+from mistral_ocr_spark.extractor import extract
+from mistral_ocr_spark.extractor.decode import decode_html
+from mistral_ocr_spark.extractor.pdf import extract_pdf_text
+
+FULL_PAGE = b"""<html><head><title>Site</title><style>.x{color:red}</style>
+<script>var x=1;</script></head><body>
+<nav><ul><li><a href="/">Home</a></li><li><a href="/a">About</a></li></ul></nav>
+<header><a href="/">Logo</a> tagline</header>
+<article>
+<h1>Doc 42</h1>
+<p>the fast key order sort &amp; merge &lt;part&gt; window</p>
+<ul><li>first item words</li><li>second item words</li></ul>
+<table><tr><td>cell one</td><td>cell two</td></tr></table>
+</article>
+<footer><a href="/tos">Terms</a> | <a href="/p">Privacy</a></footer>
+</body></html>"""
+
+
+def test_golden_full_page():
+    r = extract(FULL_PAGE)
+    assert r.error_class is None
+    assert r.text == (
+        "Doc 42\n\nthe fast key order sort & merge <part> window\n\n"
+        "first item words\n\nsecond item words\n\ncell one\n\ncell two"
+    )
+    assert r.markdown == (
+        "# Doc 42\n\nthe fast key order sort & merge <part> window\n\n"
+        "- first item words\n\n- second item words\n\ncell one\n\ncell two"
+    )
+    assert r.spans[0] == (0, 6, "heading")
+    assert r.spans[1][2] == "paragraph"
+    # span offsets index into text exactly
+    for s, e, _k in r.spans:
+        assert r.text[s:e] == r.text[s:e].strip()
+    s0, e0, _ = r.spans[0]
+    assert r.text[s0:e0] == "Doc 42"
+
+
+def test_boilerplate_stripped():
+    r = extract(FULL_PAGE)
+    assert "Home" not in r.text
+    assert "Terms" not in r.text
+    assert "Logo" not in r.text
+    assert "Site" not in r.text  # <title> is metadata
+    assert "var x=1" not in r.text  # script dropped
+
+
+def test_density_rule_without_article():
+    # Long low-link-density paragraph is content even without <article>.
+    words = " ".join(f"word{i}" for i in range(30))
+    html = f'<html><body><div><a href="/">nav nav nav</a></div><p>{words}</p></body></html>'
+    r = extract(html.encode())
+    assert r.text == words
+    # A short link-soup block is boilerplate.
+    assert "nav nav nav" not in (r.text or "")
+
+
+def test_malformed_nesting_no_crash():
+    r = extract(b"<html><body><article><div><p>alpha beta</div></article><p>gamma")
+    assert r.error_class is None
+    assert "alpha beta" in r.text
+
+
+def test_empty_and_null():
+    assert extract(b"").error_class == "empty"
+    assert extract(b"   ").error_class == "empty"
+    assert extract(b"<html><body></body></html>").error_class == "no_content"
+    assert extract(None).error_class == "empty"
+
+
+def test_null_html_fallback_text():
+    r = extract(None, "fallback  text\nhere")
+    assert r.text == "fallback text here"
+    assert r.spans == [(0, 18, "paragraph")]
+    assert r.error_class is None
+
+
+def test_decode_policy():
+    assert decode_html("héllo".encode("utf-8")) == ("héllo", "utf-8")
+    raw = b'<meta charset="iso-8859-1"><p>caf\xe9</p>'
+    txt, enc = decode_html(raw)
+    assert "café" in txt and enc == "latin-1"
+    # undeclared non-utf8 falls back to cp1252, total function
+    txt, enc = decode_html(b"caf\xe9 na\xefve")
+    assert txt == "café naïve" and enc == "cp1252:replace"
+
+
+def test_determinism_repeat():
+    for _ in range(3):
+        assert extract(FULL_PAGE) == extract(FULL_PAGE)
+
+
+def test_pdf_text_objects():
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\nBT /F1 12 Tf (Hello \\(PDF\\) world) Tj ET\n"
+        b"BT [(second) ( part)] TJ ET\nendobj"
+    )
+    assert extract_pdf_text(pdf) == ["Hello (PDF) world", "second part"]
+    r = extract(pdf)
+    assert r.text == "Hello (PDF) world\n\nsecond part"
+    assert r.encoding == "pdf"
+
+
+def test_pdf_unsupported():
+    r = extract(b"%PDF-1.7\nbinary junk only")
+    assert r.error_class == "unsupported_pdf"
+    assert r.text is None
+
+
+def test_entity_roundtrip():
+    r = extract(b"<article><p>a &amp; b &lt; c &gt; d &#x27;q&#x27;</p></article>")
+    assert r.text == "a & b < c > d 'q'"

@@ -1,0 +1,93 @@
+"""Pipeline tests: exactly-once resume, determinism under parallelism,
+skew balance, lineage counters (FIXTURES.md §6 test matrix)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mistral_ocr_spark import pipeline
+from mistral_ocr_spark.operators.extract import extract_pages
+from mistral_ocr_spark.sources import catalog
+from mistral_ocr_spark.sources.fixtures import generate_pages
+
+N = 3000
+
+
+@pytest.fixture()
+def table_root():
+    root = tempfile.mkdtemp(prefix="ocr_tbl_")
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_resume_exactly_once(spark, table_root):
+    pages = generate_pages(spark, N, partitions=6)
+    # Simulated crash: only 1 of 3 chunks commits.
+    s1 = pipeline.run(spark, pages, table_root, n_chunks=3, max_chunks=1, num_partitions=8)
+    assert s1["chunks_done"] == 1
+    partial = catalog.read_extracted(spark, table_root).count()
+    assert 0 < partial < N
+
+    s2 = pipeline.run(spark, pages, table_root, n_chunks=3, num_partitions=8)
+    assert s2["chunks_skipped"] == 1 and s2["chunks_done"] == 2
+    ext = catalog.read_extracted(spark, table_root)
+    assert ext.count() == N
+    assert ext.select("url").distinct().count() == N  # exactly once per url
+
+    # Fully idempotent rerun: nothing recomputed.
+    s3 = pipeline.run(spark, pages, table_root, n_chunks=3, num_partitions=8)
+    assert s3["chunks_done"] == 0 and s3["chunks_skipped"] == 3
+
+
+def test_crash_mid_chunk_invisible(spark, table_root):
+    """Files written without a manifest commit must be invisible to readers."""
+    import os
+
+    pages = generate_pages(spark, 500, partitions=2)
+    pipeline.run(spark, pages, table_root, n_chunks=2, max_chunks=1, num_partitions=4)
+    committed = catalog.read_extracted(spark, table_root).count()
+    # Simulate a crash that wrote data files but never committed chunk 1:
+    orphan = os.path.join(table_root, "data", "run=run-0001", "chunk=1")
+    extract_pages(generate_pages(spark, 100, partitions=1)).write.mode(
+        "overwrite"
+    ).parquet(orphan)
+    assert catalog.read_extracted(spark, table_root).count() == committed
+
+
+def test_determinism_across_parallelism(spark):
+    a = {
+        r.url: (r.text, r.markdown)
+        for r in extract_pages(generate_pages(spark, 1000, partitions=2)).collect()
+    }
+    b = {
+        r.url: (r.text, r.markdown)
+        for r in extract_pages(
+            pipeline.salted_repartition(generate_pages(spark, 1000, partitions=13), 7)
+        ).collect()
+    }
+    assert a == b
+
+
+def test_salting_bounds_skew(spark, table_root):
+    pages = generate_pages(spark, 6000, partitions=6)  # hot host = 30% of rows
+    pipeline.run(spark, pages, table_root, n_chunks=1, num_partitions=12)
+    lin = catalog.read_lineage(spark, table_root)
+    ns = [r.n for r in lin.groupBy("partition_id").agg(F.sum("doc_count").alias("n")).collect()]
+    assert max(ns) <= 2 * (sum(ns) / len(ns)), f"skew too high: {ns}"
+
+
+def test_lineage_counters(spark, table_root):
+    pages = generate_pages(spark, 1000, partitions=4)
+    pipeline.run(spark, pages, table_root, n_chunks=2, num_partitions=4)
+    lin = catalog.read_lineage(spark, table_root)
+    tot = lin.agg(
+        F.sum("doc_count").alias("d"), F.sum("succeeded").alias("s"), F.sum("failed").alias("f")
+    ).collect()[0]
+    assert tot.d == 1000 and tot.s + tot.f == 1000 and tot.f > 0
+    err = catalog.read_errors(spark, table_root)
+    assert err.count() == tot.f
+    assert set(lin.select("status").distinct().toPandas()["status"]) == {"complete"}
