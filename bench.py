@@ -1,0 +1,133 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures the headline work at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+- ``extract_throughput``: the flagship pipeline — synthesize a pages corpus
+  (written to parquet first; generation excluded from timing), then
+  read → salted repartition → mapInArrow extract → write. Reported as
+  seconds and docs/sec.
+- the headline relational/dedup/similarity queries from the registry.
+- ``scaling``: the same extraction job at local[8] (N) vs local[32] (4N)
+  on identical input — evidence for the north rule's ≥0.8 scaling
+  efficiency criterion (no real cluster in this sandbox; see BENCH.md).
+
+Usage: python bench.py [--skip-scaling]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# pages-corpus size scaled to the sf dir (sf0.1 → 200k pages)
+_SF_PAGES = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+N_PAGES = _SF_PAGES.get(os.path.basename(SF_DIR.rstrip("/")), 200_000)
+
+BENCH_QUERIES = [
+    "pipeline_extract",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "search_content",
+    "latest_event_per_user",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "token_count",
+    "quality_score",
+]
+
+
+def _materialize_pages(spark, n_rows: int, path: str) -> None:
+    from mistral_ocr_spark.sources.fixtures import generate_pages
+
+    generate_pages(spark, n_rows, partitions=CPUS * 2).write.mode("overwrite").parquet(path)
+
+
+def _extract_job(spark, pages_path: str, out_path: str, parallelism: int) -> float:
+    """Timed: read parquet → salted repartition → extract → write parquet."""
+    from mistral_ocr_spark.operators.extract import extract_pages
+    from mistral_ocr_spark.pipeline import salted_repartition
+
+    t0 = time.time()
+    pages = spark.read.parquet(pages_path)
+    ext = extract_pages(salted_repartition(pages, parallelism * 2))
+    ext.write.mode("overwrite").parquet(out_path)
+    return time.time() - t0
+
+
+def _run_at(master_cores: int, pages_path: str, tmp: str) -> float:
+    """Fresh session at local[cores]; returns docs/sec for the extract job."""
+    from mistral_ocr_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-scaling-{master_cores}",
+        master=f"local[{master_cores}]",
+        shuffle_partitions=master_cores * 2,
+    )
+    try:
+        secs = _extract_job(spark, pages_path, f"{tmp}/out-{master_cores}", master_cores)
+        n = spark.read.parquet(f"{tmp}/out-{master_cores}").count()
+        return n / secs
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    skip_scaling = "--skip-scaling" in sys.argv
+    from mistral_ocr_spark.plans.queries import REGISTRY
+    from mistral_ocr_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="ocr_bench_")
+    result: dict = {"metric": "bench_total_sec", "unit": "sec", "sf": SF_DIR, "queries": {}}
+    try:
+        spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+        pages_path = f"{tmp}/pages"
+        _materialize_pages(spark, N_PAGES, pages_path)
+
+        # headline: extraction throughput
+        secs = _extract_job(spark, pages_path, f"{tmp}/out-main", CPUS)
+        n_docs = spark.read.parquet(f"{tmp}/out-main").count()
+        result["queries"]["extract_throughput"] = round(secs, 3)
+        result["extract_docs_per_sec"] = round(n_docs / secs, 1)
+        result["extract_n_docs"] = n_docs
+
+        for name in BENCH_QUERIES:
+            if name == "pipeline_extract":
+                continue  # covered by extract_throughput above
+            fn, _sql = REGISTRY[name]
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            result["queries"][name] = round(time.time() - t0, 3)
+        spark.stop()
+
+        if not skip_scaling:
+            n_small = 8
+            thr_n = _run_at(n_small, pages_path, tmp)
+            thr_4n = _run_at(n_small * 4, pages_path, tmp)
+            result["scaling"] = {
+                "cores_n": n_small,
+                "cores_4n": n_small * 4,
+                "docs_per_sec_n": round(thr_n, 1),
+                "docs_per_sec_4n": round(thr_4n, 1),
+                "efficiency": round((thr_4n / thr_n) / 4, 3),
+            }
+
+        result["value"] = round(sum(result["queries"].values()), 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""CLI — the reference's six verbs re-expressed over Spark tables.
+
+Reference: submit / status / results / search / list / files
+(/root/reference/src/mistral_ocr/simple_cli.py:391-425). Here:
+
+- ``submit``  → run (or resume) the extraction pipeline over a pages dir
+- ``status``  → per-run counters from the lineage table (pending/complete)
+- ``results`` → extracted rows for a url (cache-first semantics: reads the
+  committed table, never recomputes — simple_client.py:481-483)
+- ``search``  → LIKE search over extracted text, newest-first, LIMIT 50
+  (simple_client.py:261-272) with ±50-char snippet (simple_cli.py:209-218)
+- ``list``    → runs/chunks newest-first from lineage
+- ``files``   → committed data files from the manifest
+
+Usage: python -m mistral_ocr_spark.cli <verb> [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from mistral_ocr_spark.session import get_spark
+from mistral_ocr_spark.sources import catalog
+
+
+def cmd_submit(args) -> int:
+    from mistral_ocr_spark import pipeline
+    from mistral_ocr_spark.sources.fixtures import generate_pages
+
+    spark = get_spark(app_name="ocr-submit")
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+    else:
+        pages = generate_pages(spark, args.generate)
+    stats = pipeline.run(
+        spark,
+        pages,
+        args.table,
+        run_id=args.run_id,
+        n_chunks=args.chunks,
+        max_chunks=args.max_chunks,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_status(args) -> int:
+    spark = get_spark(app_name="ocr-status")
+    lin = catalog.read_lineage(spark, args.table)
+    if args.run_id:
+        lin = lin.filter(F.col("run_id") == args.run_id)
+    agg = lin.groupBy("run_id", "status").agg(
+        F.count(F.lit(1)).alias("partitions"),
+        F.sum("doc_count").alias("docs"),
+        F.sum("succeeded").alias("succeeded"),
+        F.sum("failed").alias("failed"),
+        F.round(F.sum("succeeded") * 100.0 / F.sum("doc_count"), 1).alias("pct_ok"),
+    )
+    agg.orderBy("run_id", "status").show(100, truncate=False)
+    return 0
+
+
+def cmd_results(args) -> int:
+    spark = get_spark(app_name="ocr-results")
+    ext = catalog.read_extracted(spark, args.table)
+    rows = ext.filter(F.col("url") == args.url).select(
+        "url", "text", "markdown", "error_class"
+    ).collect()
+    for r in rows:
+        print(json.dumps({"url": r.url, "text": r.text, "markdown": r.markdown,
+                          "error_class": r.error_class}))
+    return 0 if rows else 1
+
+
+def cmd_search(args) -> int:
+    spark = get_spark(app_name="ocr-search")
+    ext = catalog.read_extracted(spark, args.table)
+    q = args.query
+    pos = F.locate(q, F.col("text"))
+    hits = (
+        ext.filter(F.col("text").contains(q))
+        .select(
+            "url",
+            F.substring(
+                F.col("text"), F.greatest(pos - 50, F.lit(1)), 100 + len(q)
+            ).alias("snippet"),
+            "warc_ts",
+        )
+        .orderBy(F.desc("warc_ts"), F.asc("url"))
+        .limit(50)
+    )
+    hits.show(50, truncate=80)
+    return 0
+
+
+def cmd_list(args) -> int:
+    spark = get_spark(app_name="ocr-list")
+    lin = catalog.read_lineage(spark, args.table)
+    lin.groupBy("run_id", "chunk_id").agg(
+        F.sum("doc_count").alias("docs"),
+        F.sum("byte_count").alias("bytes"),
+        F.max("completed_at").alias("completed_at"),
+    ).orderBy(F.desc("completed_at")).show(100, truncate=False)
+    return 0
+
+
+def cmd_files(args) -> int:
+    m = catalog.load_manifest(args.table)
+    print(json.dumps({"snapshot_id": m["snapshot_id"],
+                      "n_data_files": len(m["data_files"]),
+                      "n_lineage_files": len(m["lineage_files"]),
+                      "committed_chunks": m["committed_chunks"]}, indent=1))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mistral-ocr-spark")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    s = sub.add_parser("submit", help="run/resume the extraction pipeline")
+    s.add_argument("--table", required=True, help="output table root dir")
+    s.add_argument("--pages", help="input pages parquet dir")
+    s.add_argument("--generate", type=int, default=10000,
+                   help="synthesize N pages when --pages is absent")
+    s.add_argument("--run-id", default="run-0001")
+    s.add_argument("--chunks", type=int, default=4)
+    s.add_argument("--max-chunks", type=int, default=None)
+    s.set_defaults(func=cmd_submit)
+
+    s = sub.add_parser("status", help="per-run counters from lineage")
+    s.add_argument("--table", required=True)
+    s.add_argument("--run-id")
+    s.set_defaults(func=cmd_status)
+
+    s = sub.add_parser("results", help="extracted rows for a url")
+    s.add_argument("--table", required=True)
+    s.add_argument("--url", required=True)
+    s.set_defaults(func=cmd_results)
+
+    s = sub.add_parser("search", help="substring search over extracted text")
+    s.add_argument("--table", required=True)
+    s.add_argument("--query", required=True)
+    s.set_defaults(func=cmd_search)
+
+    s = sub.add_parser("list", help="runs/chunks newest-first")
+    s.add_argument("--table", required=True)
+    s.set_defaults(func=cmd_list)
+
+    s = sub.add_parser("files", help="manifest summary")
+    s.add_argument("--table", required=True)
+    s.set_defaults(func=cmd_files)
+
+    args = p.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

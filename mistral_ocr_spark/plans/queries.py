@@ -1,0 +1,670 @@
+"""The query surface: every operator from SURVEY.md §2 re-expressed as a
+(Spark DataFrame plan, equivalent DuckDB oracle SQL) pair, plus the
+training-data operators (dedup / similarity / text analysis / multimodal).
+
+Registry contract (mirrors __spark_entry__.py): each entry maps
+``name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)``.
+Column names/aliases are identical on both sides; floats are rounded to a
+fixed precision on both sides; counts are cast to BIGINT on both sides.
+Entries with ``oracle_sql=None`` are non-SQL-expressible (LSH/ANN/engine-
+internal tables) and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mistral_ocr_spark.operators import dedup as D
+from mistral_ocr_spark.operators import multimodal as M
+from mistral_ocr_spark.operators import similarity as S
+from mistral_ocr_spark.operators import textstats as X
+from mistral_ocr_spark.operators.extract import extract_pages
+from mistral_ocr_spark.sources.fixtures import (
+    ORACLE_MD_SQL,
+    ORACLE_TEXT_SQL,
+    URL_SQL,
+    pages_from_documents,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# Flagship: the extraction pipeline itself, DuckDB-oracle checked end-to-end
+# (the extractor must reproduce the document text byte-identically)
+# ===========================================================================
+
+@_q(
+    "pipeline_extract",
+    f"SELECT {URL_SQL} AS url, {ORACLE_TEXT_SQL} AS text FROM documents",
+)
+def pipeline_extract(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    return extract_pages(pages).select("url", "text")
+
+
+@_q(
+    "pipeline_extract_markdown",
+    f"SELECT {URL_SQL} AS url, {ORACLE_MD_SQL} AS markdown FROM documents",
+)
+def pipeline_extract_markdown(spark, sf_dir):
+    return extract_pages(pages_from_documents(spark, sf_dir)).select("url", "markdown")
+
+
+@_q(
+    "pipeline_spans",
+    f"""SELECT {URL_SQL} AS url,
+       CAST(2 AS BIGINT) AS n_spans,
+       CAST(length('Doc ' || doc_id) AS BIGINT) AS heading_end,
+       CAST(length({ORACLE_TEXT_SQL}) AS BIGINT) AS body_end,
+       'heading' AS first_kind
+       FROM documents""",
+)
+def pipeline_spans(spark, sf_dir):
+    ext = extract_pages(pages_from_documents(spark, sf_dir))
+    return ext.select(
+        "url",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.element_at("spans", 1)["end"].cast("bigint").alias("heading_end"),
+        F.element_at("spans", 2)["end"].cast("bigint").alias("body_end"),
+        F.element_at("spans", 1)["kind"].alias("first_kind"),
+    )
+
+
+@_q(
+    "host_distribution",
+    "SELECT 'host-' || (doc_id % 50) || '.example.com' AS host, "
+    "CAST(count(*) AS BIGINT) AS n_pages FROM documents GROUP BY 1",
+)
+def host_distribution(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    return pages.groupBy(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pages"))
+
+
+# ===========================================================================
+# Reference CLI surface over driver tables (SURVEY.md §2.2-2.8)
+# ===========================================================================
+
+@_q(
+    "search_content",  # F1 + O4: LIKE search, newest-first, LIMIT 50
+    "SELECT doc_id, lang, n_chars FROM documents WHERE text LIKE '%merge sort%' "
+    "ORDER BY n_chars DESC, doc_id LIMIT 50",
+)
+def search_content(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").contains("merge sort"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+@_q(
+    "search_snippet",  # F2: context window around the match
+    "SELECT doc_id, substring(text, greatest(strpos(text, 'window') - 20, 1), 52) AS snippet "
+    "FROM documents WHERE strpos(text, 'window') > 0",
+)
+def search_snippet(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pos = F.locate("window", F.col("text"))
+    return d.filter(pos > 0).select(
+        "doc_id",
+        F.substring(F.col("text"), F.greatest(pos - 20, F.lit(1)), 52).alias("snippet"),
+    )
+
+
+@_q(
+    "point_lookup",  # P2: job lookup by key
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+)
+def point_lookup(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").filter(F.col("doc_id") == 42).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@_q(
+    "join_inner",  # J1: jobs ⋈ documents (broadcast dim)
+    "SELECT o.o_orderkey, o.o_totalprice, c.c_name FROM orders o "
+    "JOIN customer c ON o.o_custkey = c.c_custkey WHERE o.o_totalprice > 400000",
+)
+def join_inner(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@_q(
+    "join_left_coalesce",  # J2: LEFT JOIN + COALESCE(name,'Unknown')
+    "SELECT c.c_custkey, coalesce(n.n_name, 'Unknown') AS nation_name "
+    "FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey AND n.n_nationkey < 10",
+)
+def join_left_coalesce(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10)
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left").select(
+        "c_custkey", F.coalesce(F.col("n_name"), F.lit("Unknown")).alias("nation_name")
+    )
+
+
+@_q(
+    "join_3way_search",  # J3: results ⋈ jobs ⋈ documents
+    "SELECT l.l_orderkey, l.l_linenumber, c.c_name FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey WHERE l.l_quantity >= 50",
+)
+def join_3way_search(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 50)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("l_orderkey", "l_linenumber", "c_name")
+    )
+
+
+@_q(
+    "status_counters",  # A1 + A2: per-type counters + share
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS total, "
+    "CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS succeeded, "
+    "round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share FROM events GROUP BY event_type",
+)
+def status_counters(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).cast("bigint").alias("succeeded"),
+    )
+    # Global total as a broadcast scalar (not a partitionBy() window, which
+    # would funnel all rows through one partition at scale).
+    grand = agg.agg(F.sum("total").alias("grand_total"))
+    return agg.crossJoin(F.broadcast(grand)).select(
+        "event_type",
+        "total",
+        "succeeded",
+        F.round(F.col("total") * 1.0 / F.col("grand_total"), 6).alias("share"),
+    )
+
+
+@_q(
+    "error_rollup",  # A3: error count-by-key
+    "SELECT CAST(props->>'$.k' AS INT) % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n "
+    "FROM events WHERE event_type = 'error' GROUP BY 1",
+)
+def error_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return e.groupBy(
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@_q(
+    "distinct_langs",  # A5: SELECT DISTINCT ... ORDER BY
+    "SELECT DISTINCT lang FROM documents ORDER BY lang",
+)
+def distinct_langs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select("lang").distinct().orderBy("lang")
+
+
+@_q(
+    "latest_event_per_user",  # §2.5 window: latest-per-key
+    "SELECT user_id, event_id, event_type FROM ("
+    "  SELECT user_id, event_id, event_type, "
+    "  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+    "  FROM events) WHERE rn = 1",
+)
+def latest_event_per_user(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@_q(
+    "topk_orders",  # O4: top-k without full sort (TakeOrderedAndProject)
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def topk_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "resume_anti_join",  # §2.7: set-difference resume filter (pages minus committed)
+    "SELECT c.c_custkey, c.c_name FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)",
+)
+def resume_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_q(
+    "get_or_create_dedup",  # A6: get-or-create by name
+    "SELECT source, CAST(min(doc_id) AS BIGINT) AS first_id, CAST(count(*) AS BIGINT) AS n "
+    "FROM documents GROUP BY source",
+)
+def get_or_create_dedup(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.min("doc_id").cast("bigint").alias("first_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@_q(
+    "name_normalize",  # F6: lowercase + whitespace→hyphen
+    "SELECT p_partkey, regexp_replace(lower(p_name), '\\s+', '-', 'g') AS dir_name FROM part",
+)
+def name_normalize(spark, sf_dir):
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.regexp_replace(F.lower(F.col("p_name")), r"\s+", "-").alias("dir_name"),
+    )
+
+
+@_q(
+    "mime_dispatch",  # F11: CASE-chain dispatch
+    "SELECT CASE WHEN lang IN ('en','de','fr') THEN 'text/html' "
+    "WHEN source = 'src0' THEN 'application/pdf' ELSE 'application/octet-stream' END AS mime, "
+    "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1",
+)
+def mime_dispatch(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    mime = (
+        F.when(F.col("lang").isin("en", "de", "fr"), "text/html")
+        .when(F.col("source") == "src0", "application/pdf")
+        .otherwise("application/octet-stream")
+    )
+    return d.groupBy(mime.alias("mime")).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@_q(
+    "bytes_per_lang",  # A4: doc-count / byte-count rollup
+    "SELECT lang, CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars "
+    "FROM documents GROUP BY lang",
+)
+def bytes_per_lang(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
+@_q(
+    "progress_pct",  # A2: completed/total*100
+    "SELECT o_orderstatus, round(count(*) * 100.0 / sum(count(*)) OVER (), 1) AS pct "
+    "FROM orders GROUP BY o_orderstatus",
+)
+def progress_pct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grand = o.agg(F.sum("cnt").alias("grand_total"))
+    return o.crossJoin(F.broadcast(grand)).select(
+        "o_orderstatus",
+        F.round(F.col("cnt") * 100.0 / F.col("grand_total"), 1).alias("pct"),
+    )
+
+
+@_q(
+    "json_extract",  # F5: JSON field extraction
+    "SELECT event_id, CAST(props->>'$.k' AS INT) AS k_val FROM events "
+    "WHERE CAST(props->>'$.k' AS INT) >= 90",
+)
+def json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select("event_id", k.alias("k_val")).filter(F.col("k_val") >= 90)
+
+
+@_q(
+    "date_format_iso",  # F7: timestamp stringification
+    "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day FROM orders "
+    "WHERE o_orderkey % 100 = 0",
+)
+def date_format_iso(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day")
+    )
+
+
+@_q(
+    "base64_roundtrip",  # F4: base64 encode of content bytes
+    "SELECT doc_id, to_base64(encode(substring(text, 1, 16))) AS b64 FROM documents",
+)
+def base64_roundtrip(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.base64(F.encode(F.substring("text", 1, 16), "UTF-8")).alias("b64"),
+    )
+
+
+@_q(
+    "sha_fingerprint",  # F9: deterministic id (sha256 instead of uuid)
+    "SELECT doc_id, sha256('doc-' || doc_id || '-' || source) AS doc_uuid FROM documents",
+)
+def sha_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.sha2(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string"), F.lit("-"), F.col("source")),
+            256,
+        ).alias("doc_uuid"),
+    )
+
+
+# ===========================================================================
+# Headline relational aggregations (TPC-H-shaped; partial agg + broadcast)
+# ===========================================================================
+
+@_q(
+    "tpch_q1_pricing",
+    "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(avg(l_quantity), 4) AS avg_qty, CAST(count(*) AS BIGINT) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def tpch_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("count_order"),
+    )
+
+
+@_q(
+    "tpch_q3_shipping",
+    "SELECT l.l_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+    "strftime(o.o_orderdate, '%Y-%m-%d') AS order_day FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-03-15' "
+    "AND l.l_shipdate > TIMESTAMP '1998-03-15' "
+    "GROUP BY l.l_orderkey, o.o_orderdate ORDER BY revenue DESC, l.l_orderkey LIMIT 10",
+)
+def tpch_q3_shipping(spark, sf_dir):
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# Text analysis (training-data pipeline ops; JVM-side formulas, oracled)
+# ===========================================================================
+
+@_q(
+    "token_count",
+    "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens "
+    "FROM documents",
+)
+def token_count(spark, sf_dir):
+    return X.with_token_count(_t(spark, sf_dir, "documents")).select("doc_id", "n_tokens")
+
+
+def _lang_oracle() -> str:
+    p = "(' ' || text || ' ')"
+    scores = {lang: X.lang_score_sql(lang, p) for lang in X.LANG_MARKERS}
+    best = "greatest(" + ", ".join(f"({s})" for s in scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN ({scores[lang]}) = {best} THEN '{lang}'" for lang in X.LANG_MARKERS
+    )
+    return (
+        f"SELECT doc_id, CASE WHEN {best} <= 0 THEN 'und' {cases} END AS lang_pred "
+        "FROM documents"
+    )
+
+
+@_q("lang_id", _lang_oracle())
+def lang_id(spark, sf_dir):
+    return X.with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def _quality_oracle() -> str:
+    t = "trim(text)"
+    n_tok = f"CAST(len(regexp_split_to_array({t}, '\\s+')) AS DOUBLE)"
+    p = f"(' ' || {t} || ' ')"
+    stop = " + ".join(X.occurrences_sql(p, s) for s in X.STOPWORDS)
+    stop_ratio = f"least(1.0, ({stop}) / greatest({n_tok}, 1.0) * 5.0)"
+    len_score = f"least(1.0, {n_tok} / 100.0)"
+    mean_wlen = f"(length({t}) / greatest({n_tok}, 1.0))"
+    wlen = f"(CASE WHEN {mean_wlen} >= 3.0 AND {mean_wlen} <= 10.0 THEN 1.0 ELSE 0.0 END)"
+    return (
+        f"SELECT doc_id, round({len_score} * 0.4 + {stop_ratio} * 0.3 + {wlen} * 0.3, 6) "
+        "AS quality FROM documents"
+    )
+
+
+@_q("quality_score", _quality_oracle())
+def quality_score(spark, sf_dir):
+    return X.with_quality_score(_t(spark, sf_dir, "documents")).select("doc_id", "quality")
+
+
+@_q(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint "
+    "FROM documents",
+)
+def doc_fingerprint(spark, sf_dir):
+    return X.with_fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+# ===========================================================================
+# Deduplication (training-data pipeline ops)
+# ===========================================================================
+
+# Augmented corpus shared by the near-dup queries — documents plus
+# last-word-dropped copies (ids +100000): guaranteed true near-dup pairs,
+# buildable identically in ANSI SQL.
+_AUG_SQL = (
+    "(SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '') FROM documents)"
+)
+
+_SHINGLE_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 2)), "
+    "i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' || "
+    "regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' || "
+    "regexp_split_to_array(trim(text), '\\s+')[i+2]))"
+)
+
+_JACCARD_ORACLE = f"""
+WITH aug AS (SELECT doc_id, text FROM {_AUG_SQL} t),
+sh AS (SELECT doc_id AS id, {_SHINGLE_SQL} AS shingles FROM aug)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6)
+       AS jaccard
+FROM sh a, sh b
+WHERE a.id < b.id
+  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.6
+"""
+
+
+@_q(
+    "dedup_exact",
+    "SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint, "
+    "CAST(min(doc_id) AS BIGINT) AS keeper_id, CAST(count(*) AS BIGINT) AS dup_count "
+    "FROM (SELECT doc_id, text FROM documents UNION ALL "
+    "      SELECT doc_id + 200000, text FROM documents) GROUP BY 1",
+)
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    return D.exact_dedup(d.unionAll(dup))
+
+
+@_q("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    aug = D.augmented_docs(_t(spark, sf_dir, "documents"))
+    return D.jaccard_pairs_exact(aug, threshold=0.6)
+
+
+@_q("dedup_minhash_lsh", _JACCARD_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    # Same exact answer set as dedup_ngram_jaccard, different physical plan:
+    # LSH banding generates candidates, exact Jaccard verifies.
+    aug = D.augmented_docs(_t(spark, sf_dir, "documents"))
+    return D.minhash_lsh_pairs(aug, threshold=0.6)
+
+
+@_q("dedup_simhash", None)  # signature not expressible in ANSI SQL → rows-only
+def dedup_simhash(spark, sf_dir):
+    aug = D.augmented_docs(_t(spark, sf_dir, "documents"))
+    return D.simhash_pairs(aug, max_hamming=6)
+
+
+_EMB_AUG_SQL = (
+    "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings UNION ALL "
+    "SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) "
+    "FROM embeddings)"
+)
+
+
+def _aug_embeddings(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2).alias("emb"),
+    )
+    return base.unionAll(pert)
+
+
+@_q(
+    "dedup_embedding_cosine",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+       FROM {_EMB_AUG_SQL} a, {_EMB_AUG_SQL} b
+       WHERE a.vec_id < b.vec_id
+       AND list_cosine_similarity(a.emb, b.emb) >= 0.9""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return S.embedding_near_dup_pairs(_aug_embeddings(spark, sf_dir), 0.9, vec_col="emb")
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+@_q(
+    "ann_cosine_topk",
+    "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+    "CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim "
+    "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+    "WHERE e.vec_id != 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 10",
+)
+def ann_cosine_topk(spark, sf_dir):
+    return S.brute_force_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@_q("ann_lsh_topk", None)  # ANN: recall < 1 by design → rows-only
+def ann_lsh_topk(spark, sf_dir):
+    return S.lsh_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+# ===========================================================================
+# Multimodal plumbing
+# ===========================================================================
+
+@_q(
+    "multimodal_features",
+    "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, "
+    "md5(text) AS content_md5, "
+    "CAST((octet_length(encode(text)) % 640) + 16 AS INT) AS width, "
+    "CAST((octet_length(encode(text)) % 480) + 16 AS INT) AS height FROM documents",
+)
+def multimodal_features(spark, sf_dir):
+    media = M.media_from_documents(_t(spark, sf_dir, "documents"))
+    return M.extract_features(media)
+
+
+# ===========================================================================
+# Engine-internal tables (lineage/status) — rows-only smoke
+# ===========================================================================
+
+@_q("lineage_status", None)
+def lineage_status(spark, sf_dir):
+    import tempfile
+
+    from mistral_ocr_spark import pipeline as P
+    from mistral_ocr_spark.sources import catalog
+    from mistral_ocr_spark.sources.fixtures import generate_pages
+
+    root = tempfile.mkdtemp(prefix="ocr_lineage_q_")
+    P.run(spark, generate_pages(spark, 400, partitions=4), root, n_chunks=2, num_partitions=4)
+    lin = catalog.read_lineage(spark, root)
+    return lin.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("partitions"),
+        F.sum("doc_count").cast("bigint").alias("docs"),
+        F.sum("failed").cast("bigint").alias("failed"),
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
