@@ -183,6 +183,23 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+    # Signature-estimate prefilter: E[matching minhash components] = true
+    # Jaccard, so pairs whose estimate sits far below the threshold are cut
+    # before the (expensive) exact-verification join. The 0.2 margin keeps
+    # the miss probability negligible (Hoeffding: exp(-2·64·0.2²) < 0.6%,
+    # and only for pairs sitting exactly at the threshold).
+    est_margin = 0.2
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(num_hashes)
+    cand = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .filter(est >= threshold - est_margin)
+        .select("id_a", "id_b")
+    )
     sh = with_shingles(docs, text_col).select(F.col(key_col).alias("id"), "shingles")
     verified = (
         cand.join(sh.withColumnRenamed("shingles", "sh_a"), cand.id_a == sh.id)
