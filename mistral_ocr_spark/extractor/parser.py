@@ -1,9 +1,9 @@
-"""HTML → flat block sequence, via stdlib ``html.parser`` only.
+"""HTML → flat block sequence, from scratch (no lxml/bs4 in this sandbox —
+and the north rule asks for a from-scratch DOM-heuristic extractor anyway).
 
-This sandbox has no lxml/bs4 — and the north rule asks for a from-scratch
-DOM-heuristic extractor anyway. The tokenizer segments the page into
-*text blocks* at block-level tag boundaries and annotates each block with
-the features Boilerpipe/Readability-style classification needs:
+The tokenizer segments the page into *text blocks* at block-level tag
+boundaries and annotates each block with the features Boilerpipe/
+Readability-style classification needs:
 
 - ``words``       — whitespace-token count of the normalized text
 - ``link_chars``  — characters contributed from inside ``<a>`` elements
@@ -11,6 +11,15 @@ the features Boilerpipe/Readability-style classification needs:
 - ``kind``        — heading / paragraph / list_item / table / title / pre
 - ``in_article``  — inside <article>/<main> (structural content hint)
 - ``in_chrome``   — inside <nav>/<header>/<footer>/<aside> (chrome hint)
+
+Two tokenizer engines feed the same block builder:
+
+- ``fast`` (default, the production path): a single compiled-regex scan.
+  ~4× the stdlib engine — this sits in the innermost loop of the whole
+  pipeline, so the constant matters at 10^12 documents.
+- ``stdlib``: ``html.parser.HTMLParser`` — the battle-tested cross-check;
+  the dual-verification test asserts both engines produce identical blocks
+  over the full fixture corpus (edge rows included).
 
 Whitespace policy (part of the byte-identity contract): within a block all
 whitespace runs collapse to a single ASCII space and the block is stripped.
@@ -20,6 +29,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from html import unescape
 from html.parser import HTMLParser
 
 _WS_RE = re.compile(r"\s+")
@@ -35,12 +45,20 @@ _BLOCK_TAGS = frozenset(
 # Content inside these is dropped entirely.
 _IGNORE_TAGS = frozenset("script style noscript svg template iframe".split())
 
+# Raw-text elements: the fast tokenizer skips straight to the close tag
+# (matches HTMLParser's CDATA handling of script/style).
+_RAWTEXT_TAGS = ("script", "style")
+
 # Chrome containers: structural boilerplate hint.
 _CHROME_TAGS = frozenset("nav header footer aside".split())
 
 _ARTICLE_TAGS = frozenset(("article", "main"))
 
 _HEADING_LEVEL = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+_KIND_TAGS = frozenset(
+    ("li", "td", "th", "tr", "table", "caption", "title", "pre", "p", "blockquote")
+)
 
 # Self-closing/void elements that must not be pushed on the tag stack.
 _VOID_TAGS = frozenset(
@@ -78,23 +96,27 @@ class Block:
         return self.link_chars / self.chars if self.chars else 0.0
 
 
-class _BlockParser(HTMLParser):
-    """Streaming tokenizer: emits Blocks at block-tag boundaries."""
+class _BlockBuilder:
+    """Shared state machine: tag/data events in, annotated Blocks out."""
+
+    __slots__ = (
+        "blocks",
+        "_cur",
+        "_ignore_depth",
+        "_a_depth",
+        "_chrome_depth",
+        "_article_depth",
+        "_kind_stack",
+    )
 
     def __init__(self) -> None:
-        # convert_charrefs=True resolves &amp; &#x27; … inside data —
-        # required so escaped fixture text round-trips byte-identically.
-        super().__init__(convert_charrefs=True)
         self.blocks: list[Block] = []
         self._cur = Block()
         self._ignore_depth = 0
         self._a_depth = 0
         self._chrome_depth = 0
         self._article_depth = 0
-        # Kind context stacks — nearest enclosing semantic wins.
         self._kind_stack: list[tuple[str, int]] = []
-
-    # -- block lifecycle ---------------------------------------------------
 
     def _flush(self) -> None:
         if self._cur.text:
@@ -109,9 +131,7 @@ class _BlockParser(HTMLParser):
         b.in_chrome = self._chrome_depth > 0
         return b
 
-    # -- parser callbacks ----------------------------------------------------
-
-    def handle_starttag(self, tag: str, attrs) -> None:
+    def start(self, tag: str) -> None:
         if tag in _IGNORE_TAGS:
             self._ignore_depth += 1
             return
@@ -143,7 +163,7 @@ class _BlockParser(HTMLParser):
             self._kind_stack.append(kind)
             self._cur = self._fresh_block()
 
-    def handle_endtag(self, tag: str) -> None:
+    def end(self, tag: str) -> None:
         if tag in _IGNORE_TAGS:
             self._ignore_depth = max(0, self._ignore_depth - 1)
             return
@@ -158,45 +178,120 @@ class _BlockParser(HTMLParser):
         elif tag == "a":
             self._a_depth = max(0, self._a_depth - 1)
 
-        if tag in _HEADING_LEVEL or tag in (
-            "li",
-            "td",
-            "th",
-            "tr",
-            "table",
-            "caption",
-            "title",
-            "pre",
-            "p",
-            "blockquote",
-        ):
-            # Pop the innermost matching kind frame (malformed nesting safe).
-            for i in range(len(self._kind_stack) - 1, -1, -1):
+        if tag in _HEADING_LEVEL or tag in _KIND_TAGS:
+            if self._kind_stack:  # malformed-nesting safe
                 self._kind_stack.pop()
-                break
             self._cur = self._fresh_block()
 
-    def handle_data(self, data: str) -> None:
-        if self._ignore_depth or not data:
+    def data(self, text: str) -> None:
+        if self._ignore_depth or not text:
             return
-        self._cur.parts.append(data)
-        n = len(data)
+        self._cur.parts.append(text)
+        n = len(text)
         self._cur.chars += n
         if self._a_depth:
             self._cur.link_chars += n
 
-    def close(self) -> None:  # flush trailing text
-        super().close()
+    def finish(self) -> list[Block]:
         self._flush()
+        return self.blocks
 
 
-def parse_blocks(html_text: str) -> list[Block]:
+# ---------------------------------------------------------------------------
+# fast engine: single-regex scan
+# ---------------------------------------------------------------------------
+
+# One token per match: comment / declaration / processing instr. / tag.
+# Attribute values may contain '>' inside quotes — the attr part consumes
+# quoted strings atomically before any unquoted byte.
+_TOKEN_RE = re.compile(
+    r"""<(?:
+        !--.*?(?:-->|$)            # comment (unterminated: to EOF)
+      | !\[CDATA\[.*?(?:\]\]>|$)   # cdata
+      | ![^>]*>?                   # doctype/declaration
+      | \?[^>]*>?                  # processing instruction
+      | (/?)                       # 1: end-tag slash
+        ([a-zA-Z][a-zA-Z0-9:_-]*)  # 2: tag name
+        ((?:"[^"]*"|'[^']*'|[^"'>])*)  # 3: attributes (quote-aware)
+        >?
+    )""",
+    re.DOTALL | re.VERBOSE,
+)
+
+
+def _fast_tokenize(html_text: str, b: _BlockBuilder) -> None:
+    pos = 0
+    n = len(html_text)
+    find = _TOKEN_RE.search
+    lower_text = None  # lazily lowered copy for rawtext close-tag search
+    while pos < n:
+        m = find(html_text, pos)
+        if m is None:
+            b.data(_maybe_unescape(html_text[pos:]))
+            break
+        if m.start() > pos:
+            b.data(_maybe_unescape(html_text[pos : m.start()]))
+        pos = m.end()
+        name = m.group(2)
+        if name is None:  # comment/doctype/PI — no event
+            continue
+        tag = name.lower()
+        if m.group(1):  # end tag
+            b.end(tag)
+        else:
+            b.start(tag)
+            if tag in _RAWTEXT_TAGS:
+                # Raw-text element: skip to its close tag unparsed
+                # (HTMLParser CDATA-mode equivalent).
+                if lower_text is None:
+                    lower_text = html_text.lower()
+                close = lower_text.find("</" + tag, pos)
+                if close == -1:
+                    break
+                gt = html_text.find(">", close)
+                b.end(tag)
+                pos = n if gt == -1 else gt + 1
+
+
+def _maybe_unescape(s: str) -> str:
+    # html.unescape is comparatively expensive; only pay it when an
+    # entity can exist (matches HTMLParser convert_charrefs semantics).
+    return unescape(s) if "&" in s else s
+
+
+# ---------------------------------------------------------------------------
+# stdlib engine: html.parser cross-check
+# ---------------------------------------------------------------------------
+
+
+class _StdlibParser(HTMLParser):
+    def __init__(self, builder: _BlockBuilder) -> None:
+        # convert_charrefs=True resolves &amp; &#x27; … inside data —
+        # required so escaped fixture text round-trips byte-identically.
+        super().__init__(convert_charrefs=True)
+        self._b = builder
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._b.start(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        self._b.end(tag)
+
+    def handle_data(self, data: str) -> None:
+        self._b.data(data)
+
+
+def parse_blocks(html_text: str, engine: str = "fast") -> list[Block]:
     """Segment an HTML document into annotated text blocks.
 
-    Tolerant of malformed nesting — ``html.parser`` never raises on bad
-    markup, and the kind-stack pops defensively.
+    Tolerant of malformed markup — neither engine raises, and the
+    kind-stack pops defensively.
     """
-    p = _BlockParser()
-    p.feed(html_text)
-    p.close()
-    return p.blocks
+    b = _BlockBuilder()
+    if engine == "fast":
+        _fast_tokenize(html_text, b)
+    else:
+        p = _StdlibParser(b)
+        p.feed(html_text)
+        p.close()
+    return b.finish()

@@ -131,7 +131,7 @@ def run(
         chunk_pages = pages.filter(chunk_expr == chunk)
         extracted = extract_pages(
             salted_repartition(chunk_pages, num_partitions, salt_buckets)
-        )
+        ).withColumn("run_id", F.lit(run_id))
         data_path = os.path.join(out_root, "data", f"run={run_id}", f"chunk={chunk}")
         extracted.write.mode("overwrite").parquet(data_path)
         data_files = catalog.list_parquet_files(data_path)

@@ -384,6 +384,42 @@ def sha_fingerprint(spark, sf_dir):
     )
 
 
+@_q(
+    "markdown_wrapper",  # F3: "# OCR Result for {id}\n\n{content}" derivation
+    "SELECT doc_id, '# OCR Result for doc-' || doc_id || chr(10) || chr(10) || "
+    "substring(text, 1, 40) AS markdown FROM documents",
+)
+def markdown_wrapper(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("# OCR Result for doc-"),
+            F.col("doc_id").cast("string"),
+            F.lit("\n\n"),
+            F.substring("text", 1, 40),
+        ).alias("markdown"),
+    )
+
+
+@_q(
+    "human_bytes",  # F8: B/KB/MB formatting CASE chain
+    "SELECT o_orderkey, CASE WHEN o_totalprice < 1000 THEN round(o_totalprice, 1) || ' B' "
+    "WHEN o_totalprice < 1000000 THEN round(o_totalprice / 1000, 1) || ' KB' "
+    "ELSE round(o_totalprice / 1000000, 1) || ' MB' END AS size_h "
+    "FROM orders WHERE o_orderkey % 50 = 0",
+)
+def human_bytes(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    p = F.col("o_totalprice")
+    size_h = (
+        F.when(p < 1000, F.concat(F.round(p, 1).cast("string"), F.lit(" B")))
+        .when(p < 1000000, F.concat(F.round(p / 1000, 1).cast("string"), F.lit(" KB")))
+        .otherwise(F.concat(F.round(p / 1000000, 1).cast("string"), F.lit(" MB")))
+    )
+    return o.select("o_orderkey", size_h.alias("size_h"))
+
+
 # ===========================================================================
 # Headline relational aggregations (TPC-H-shaped; partial agg + broadcast)
 # ===========================================================================

@@ -99,15 +99,34 @@ def _read_files(spark: SparkSession, files: list[str], schema) -> DataFrame:
 
 def read_extracted(spark: SparkSession, root: str) -> DataFrame:
     """Committed extracted rows (snapshot-consistent)."""
-    from mistral_ocr_spark.sources.tables import EXTRACTED_SCHEMA
+    from mistral_ocr_spark.sources.tables import EXTRACTED_TABLE_SCHEMA
 
-    return _read_files(spark, load_manifest(root)["data_files"], EXTRACTED_SCHEMA)
+    return _read_files(spark, load_manifest(root)["data_files"], EXTRACTED_TABLE_SCHEMA)
 
 
 def read_lineage(spark: SparkSession, root: str) -> DataFrame:
     from mistral_ocr_spark.sources.tables import LINEAGE_SCHEMA
 
     return _read_files(spark, load_manifest(root)["lineage_files"], LINEAGE_SCHEMA)
+
+
+def read_extracted_latest(spark: SparkSession, root: str) -> DataFrame:
+    """Committed extracted rows with MERGE/upsert read semantics: when a url
+    was re-extracted by a later run (run_ids sort lexicographically —
+    run-0001, run-0002, …), the newest run's row wins.
+
+    This is the Spark re-expression of the reference's reconcile-by-key
+    upsert (J4, /root/reference/src/mistral_ocr/simple_client.py:578-600):
+    instead of rewriting files on merge (write amplification at 10^12
+    rows), resolution happens at read time over snapshot-consistent files —
+    with real Iceberg this becomes MERGE INTO + snapshot expiry.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ext = read_extracted(spark, root)
+    w = Window.partitionBy("url").orderBy(F.desc("run_id"), F.desc("extractor_version"))
+    return ext.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
 def read_errors(spark: SparkSession, root: str) -> DataFrame:
@@ -118,7 +137,7 @@ def read_errors(spark: SparkSession, root: str) -> DataFrame:
     ext = read_extracted(spark, root)
     return ext.filter(F.col("error_class").isNotNull()).select(
         "url",
-        F.lit(None).cast("string").alias("run_id"),
+        "run_id",
         "partition_id",
         "error_class",
         F.col("encoding").alias("message"),

@@ -48,6 +48,12 @@ EXTRACTED_SCHEMA = T.StructType(
     ]
 )
 
+# On-disk table schema: operator output + run provenance (added by the
+# pipeline at write time; used for MERGE latest-wins read resolution).
+EXTRACTED_TABLE_SCHEMA = T.StructType(
+    EXTRACTED_SCHEMA.fields + [T.StructField("run_id", T.StringType(), False)]
+)
+
 # Lineage table — analog of the reference's jobs table with its request
 # counters (simple_client.py:37-61,54-56), one row per (run, chunk,
 # partition).

@@ -80,6 +80,23 @@ def test_salting_bounds_skew(spark, table_root):
     assert max(ns) <= 2 * (sum(ns) / len(ns)), f"skew too high: {ns}"
 
 
+def test_merge_latest_wins(spark, table_root):
+    """J4 reconcile semantics: a later run re-extracting a url subset
+    supersedes the earlier rows at read time (exactly one row per url)."""
+    pages = generate_pages(spark, 1000, partitions=4)
+    pipeline.run(spark, pages, table_root, run_id="run-0001", n_chunks=1, num_partitions=4)
+    subset = pages.filter(F.pmod(F.xxhash64("url"), F.lit(10)) == 0)
+    n_subset = subset.count()
+    pipeline.run(spark, subset, table_root, run_id="run-0002", n_chunks=1, num_partitions=4)
+
+    raw = catalog.read_extracted(spark, table_root)
+    assert raw.count() == 1000 + n_subset  # both runs' rows are on disk
+    latest = catalog.read_extracted_latest(spark, table_root)
+    assert latest.count() == 1000
+    assert latest.select("url").distinct().count() == 1000
+    assert latest.filter(F.col("run_id") == "run-0002").count() == n_subset
+
+
 def test_lineage_counters(spark, table_root):
     pages = generate_pages(spark, 1000, partitions=4)
     pipeline.run(spark, pages, table_root, n_chunks=2, num_partitions=4)
