@@ -108,6 +108,16 @@ def cmd_list(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    from mistral_ocr_spark.sources.io import export_download_tree
+
+    spark = get_spark(app_name="ocr-export")
+    ext = catalog.read_extracted_latest(spark, args.table)
+    n = export_download_tree(ext, args.dest, limit=args.limit)
+    print(json.dumps({"exported": n, "dest": args.dest}))
+    return 0
+
+
 def cmd_files(args) -> int:
     m = catalog.load_manifest(args.table)
     print(json.dumps({"snapshot_id": m["snapshot_id"],
@@ -153,6 +163,12 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("files", help="manifest summary")
     s.add_argument("--table", required=True)
     s.set_defaults(func=cmd_files)
+
+    s = sub.add_parser("export", help="write per-doc .txt/.md download tree")
+    s.add_argument("--table", required=True)
+    s.add_argument("--dest", required=True)
+    s.add_argument("--limit", type=int, default=1000)
+    s.set_defaults(func=cmd_export)
 
     args = p.parse_args(argv)
     return args.func(args)
