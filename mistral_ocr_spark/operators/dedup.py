@@ -161,7 +161,10 @@ def minhash_lsh_pairs(
     ≈ (1-0.36)^32 < 1e-6).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, key_col, text_col)
+    # Signatures feed three plan branches (banding, est-prefilter a/b);
+    # persist so the mapInPandas minhash kernel runs once, not 3-4 times.
+    # At production scale this would be an explicit signatures table.
+    sigs = minhash_signatures(docs, num_hashes, key_col, text_col).persist()
     band_cols = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -200,7 +203,9 @@ def minhash_lsh_pairs(
         .filter(est >= threshold - est_margin)
         .select("id_a", "id_b")
     )
-    sh = with_shingles(docs, text_col).select(F.col(key_col).alias("id"), "shingles")
+    sh = with_shingles(docs, text_col).select(
+        F.col(key_col).alias("id"), "shingles"
+    ).persist()  # joined twice (a-side and b-side)
     verified = (
         cand.join(sh.withColumnRenamed("shingles", "sh_a"), cand.id_a == sh.id)
         .drop("id")
