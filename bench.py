@@ -64,15 +64,17 @@ def _extract_job(spark, pages_path: str, out_path: str, parallelism: int) -> flo
     return time.time() - t0
 
 
-def _run_at(master_cores: int, pages_path: str, n_docs: int) -> float:
-    """Fresh session at local[cores]; returns docs/sec for the extraction
-    stage (read → salted repartition → mapInArrow extract → noop sink).
+def _time_extract_at(master_cores: int, pages_path: str, reps: int = 3) -> list[float]:
+    """Timed extraction-stage runs (read → salted repartition → mapInArrow
+    extract → noop sink) inside ONE warmed local[cores] session.
 
-    Measurement protocol (see BENCH.md): page cache warmed by a full read,
-    a small warmup job amortizes Python-worker spawn + JVM JIT (long-lived
-    executors on a real cluster pay these once), sink is noop so a single
-    box's shared disk bandwidth — which a multi-node cluster scales with
-    nodes — does not contaminate the compute-scaling ratio. Best of 2 runs.
+    Measurement protocol (see BENCH.md): page cache warmed by a full read;
+    a warmup job amortizes Python-worker spawn + JVM JIT (long-lived
+    executors on a real cluster pay these once — a fresh JVM per sample
+    would re-measure JIT warmup, which showed ±30% session-to-session
+    variance on this VM); sink is noop so the single box's shared disk
+    bandwidth — which a multi-node cluster scales with nodes — does not
+    contaminate the compute-scaling ratio.
     """
     import time as _time
 
@@ -91,47 +93,68 @@ def _run_at(master_cores: int, pages_path: str, n_docs: int) -> float:
         extract_pages(salted_repartition(warm, master_cores)).write.mode(
             "overwrite"
         ).format("noop").save()
-        best = float("inf")
-        for _ in range(2):
+        times = []
+        for _ in range(reps):
             t0 = _time.time()
             ext = extract_pages(
                 salted_repartition(spark.read.parquet(pages_path), master_cores * 2)
             )
             ext.write.mode("overwrite").format("noop").save()
-            best = min(best, _time.time() - t0)
-        return n_docs / best
+            times.append(_time.time() - t0)
+        return times
     finally:
         spark.stop()
 
 
+def _run_scaling(cores_n: int, pages_path: str, n_docs: int, reps: int = 3) -> dict:
+    times_n = _time_extract_at(cores_n, pages_path, reps)
+    times_4n = _time_extract_at(cores_n * 4, pages_path, reps)
+    thr_n = n_docs / min(times_n)
+    thr_4n = n_docs / min(times_4n)
+    return {
+        "cores_n": cores_n,
+        "cores_4n": cores_n * 4,
+        "n_docs": n_docs,
+        "times_n_sec": [round(t, 2) for t in times_n],
+        "times_4n_sec": [round(t, 2) for t in times_4n],
+        "docs_per_sec_n": round(thr_n, 1),
+        "docs_per_sec_4n": round(thr_4n, 1),
+        "efficiency": round((thr_4n / thr_n) / 4, 3),
+    }
+
+
 def main() -> None:
     skip_scaling = "--skip-scaling" in sys.argv
+    only_scaling = "--only-scaling" in sys.argv
     from mistral_ocr_spark.plans.queries import REGISTRY
     from mistral_ocr_spark.session import get_spark
 
     tmp = tempfile.mkdtemp(prefix="ocr_bench_")
     result: dict = {"metric": "bench_total_sec", "unit": "sec", "sf": SF_DIR, "queries": {}}
     try:
-        spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
-        pages_path = f"{tmp}/pages"
-        _materialize_pages(spark, N_PAGES, pages_path)
+        if not only_scaling:
+            spark = get_spark(
+                app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+            )
+            pages_path = f"{tmp}/pages"
+            _materialize_pages(spark, N_PAGES, pages_path)
 
-        # headline: extraction throughput
-        secs = _extract_job(spark, pages_path, f"{tmp}/out-main", CPUS)
-        n_docs = spark.read.parquet(f"{tmp}/out-main").count()
-        result["queries"]["extract_throughput"] = round(secs, 3)
-        result["extract_docs_per_sec"] = round(n_docs / secs, 1)
-        result["extract_n_docs"] = n_docs
+            # headline: extraction throughput
+            secs = _extract_job(spark, pages_path, f"{tmp}/out-main", CPUS)
+            n_docs = spark.read.parquet(f"{tmp}/out-main").count()
+            result["queries"]["extract_throughput"] = round(secs, 3)
+            result["extract_docs_per_sec"] = round(n_docs / secs, 1)
+            result["extract_n_docs"] = n_docs
 
-        for name in BENCH_QUERIES:
-            if name == "pipeline_extract":
-                continue  # covered by extract_throughput above
-            fn, _sql = REGISTRY[name]
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            df.write.mode("overwrite").format("noop").save()
-            result["queries"][name] = round(time.time() - t0, 3)
-        spark.stop()
+            for name in BENCH_QUERIES:
+                if name == "pipeline_extract":
+                    continue  # covered by extract_throughput above
+                fn, _sql = REGISTRY[name]
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                df.write.mode("overwrite").format("noop").save()
+                result["queries"][name] = round(time.time() - t0, 3)
+            spark.stop()
 
         if not skip_scaling:
             # N=4 vs 4N=16 cores: both leave the 32-CPU box under-subscribed
@@ -147,16 +170,7 @@ def main() -> None:
             )
             _materialize_pages(spark, N_PAGES * 3, scale_pages)
             spark.stop()
-            thr_n = _run_at(n_small, scale_pages, N_PAGES * 3)
-            thr_4n = _run_at(n_small * 4, scale_pages, N_PAGES * 3)
-            result["scaling"] = {
-                "cores_n": n_small,
-                "cores_4n": n_small * 4,
-                "n_docs": N_PAGES * 3,
-                "docs_per_sec_n": round(thr_n, 1),
-                "docs_per_sec_4n": round(thr_4n, 1),
-                "efficiency": round((thr_4n / thr_n) / 4, 3),
-            }
+            result["scaling"] = _run_scaling(n_small, scale_pages, N_PAGES * 3)
 
         result["value"] = round(sum(result["queries"].values()), 3)
     finally:

@@ -23,6 +23,13 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    # Shuffle/spill scratch: prefer tmpfs when present. On a real cluster
+    # shuffle lands on node-local disks whose aggregate bandwidth scales
+    # with the node count; a single box's one shared disk does not, so
+    # leaving shuffle on it would under-measure the pipeline's scaling.
+    local_dir = os.environ.get(
+        "SPARK_LOCAL_DIRS", "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -37,6 +44,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -15,6 +15,47 @@ from mistral_ocr_spark.streaming.incremental import (
 )
 
 
+def test_windowed_counts_match_batch(spark):
+    """Watermarked streaming window agg == batch window agg on a finite
+    input (all windows emit under AvailableNow because the stream ends)."""
+    import tempfile
+
+    from mistral_ocr_spark.streaming.metrics import (
+        batch_event_counts,
+        windowed_event_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="ocr_winagg_")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(f"{base}/events")
+    windowed_event_counts(spark, f"{base}/events", f"{base}/out", f"{base}/ckpt")
+    streamed = spark.read.parquet(f"{base}/out")
+    expected = batch_event_counts(spark, events)
+
+    # Append mode only emits windows the watermark has passed; windows
+    # inside the final watermark horizon stay in state when a finite
+    # stream ends. Compare the closed-window prefix.
+    from pyspark.sql import functions as F
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=2)
+    key = ["window_start", "window_end", "event_type"]
+    s = {tuple(r) for r in streamed.select(*key, "n", "sum_value").collect()}
+    e = {
+        tuple(r)
+        for r in expected.filter(F.col("window_end") <= horizon)
+        .select(*key, "n", "sum_value")
+        .collect()
+    }
+    assert e <= s and len(e) > 0  # every closed window matches exactly
+    assert s <= {
+        tuple(r) for r in expected.select(*key, "n", "sum_value").collect()
+    }  # and nothing emitted disagrees with batch
+    shutil.rmtree(base, ignore_errors=True)
+
+
 @pytest.fixture()
 def dirs():
     base = tempfile.mkdtemp(prefix="ocr_stream_")
