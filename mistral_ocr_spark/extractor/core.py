@@ -17,7 +17,7 @@ from dataclasses import dataclass
 from mistral_ocr_spark import EXTRACTOR_VERSION
 from mistral_ocr_spark.extractor.classify import classify
 from mistral_ocr_spark.extractor.decode import decode_html
-from mistral_ocr_spark.extractor.parser import parse_blocks
+from mistral_ocr_spark.extractor.parser import parse_document
 from mistral_ocr_spark.extractor.pdf import PDF_MAGIC, extract_pdf_text
 from mistral_ocr_spark.extractor.render import render
 
@@ -31,6 +31,7 @@ class ExtractResult:
     spans: list[tuple[int, int, str]]
     error_class: str | None  # empty | unsupported_pdf | no_content | None
     encoding: str | None
+    images: tuple[str, ...] = ()  # non-chrome <img src> values, doc order
     extractor_version: str = EXTRACTOR_VERSION
 
 
@@ -74,9 +75,9 @@ def extract(html: bytes | None, fallback_text: str | None = None) -> ExtractResu
         return ExtractResult(text, text, spans, None, "pdf")
 
     decoded, encoding = decode_html(html)
-    blocks = classify(parse_blocks(decoded))
-    content = [b for b in blocks if b.is_content]
+    blocks, images = parse_document(decoded)
+    content = [b for b in classify(blocks) if b.is_content]
     if not content:
-        return ExtractResult(None, None, [], "no_content", encoding)
+        return ExtractResult(None, None, [], "no_content", encoding, tuple(images))
     text, markdown, spans = render(content)
-    return ExtractResult(text, markdown, spans, None, encoding)
+    return ExtractResult(text, markdown, spans, None, encoding, tuple(images))

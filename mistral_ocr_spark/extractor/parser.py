@@ -78,6 +78,7 @@ class Block:
     in_article: bool = False
     in_chrome: bool = False
     is_content: bool = False  # set by the classifier
+    images: list[str] = field(default_factory=list)  # <img src> in order
 
     _text: str | None = None
 
@@ -96,11 +97,17 @@ class Block:
         return self.link_chars / self.chars if self.chars else 0.0
 
 
+_SRC_RE = re.compile(
+    r"""(?<![\w-])src\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+)
+
+
 class _BlockBuilder:
     """Shared state machine: tag/data events in, annotated Blocks out."""
 
     __slots__ = (
         "blocks",
+        "images",
         "_cur",
         "_ignore_depth",
         "_a_depth",
@@ -111,6 +118,10 @@ class _BlockBuilder:
 
     def __init__(self) -> None:
         self.blocks: list[Block] = []
+        # Document-order <img src> values outside chrome/ignored regions —
+        # the reference's "extract non-text images and return them along
+        # with the extracted text" (specs/01_REQUIREMENTS.md:3).
+        self.images: list[str] = []
         self._cur = Block()
         self._ignore_depth = 0
         self._a_depth = 0
@@ -131,11 +142,15 @@ class _BlockBuilder:
         b.in_chrome = self._chrome_depth > 0
         return b
 
-    def start(self, tag: str) -> None:
+    def start(self, tag: str, src: str | None = None) -> None:
         if tag in _IGNORE_TAGS:
             self._ignore_depth += 1
             return
         if self._ignore_depth:
+            return
+        if tag == "img":
+            if src and not self._chrome_depth:
+                self.images.append(src)
             return
         if tag in _BLOCK_TAGS:
             self._flush()
@@ -239,7 +254,12 @@ def _fast_tokenize(html_text: str, b: _BlockBuilder) -> None:
         if m.group(1):  # end tag
             b.end(tag)
         else:
-            b.start(tag)
+            src = None
+            if tag == "img":
+                sm = _SRC_RE.search(m.group(3) or "")
+                if sm:
+                    src = unescape(sm.group(2) or sm.group(3) or sm.group(4) or "")
+            b.start(tag, src)
             if tag in _RAWTEXT_TAGS:
                 # Raw-text element: skip to its close tag unparsed
                 # (HTMLParser CDATA-mode equivalent).
@@ -272,7 +292,10 @@ class _StdlibParser(HTMLParser):
         self._b = builder
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        self._b.start(tag)
+        src = None
+        if tag == "img":
+            src = next((v for k, v in attrs if k == "src"), None)
+        self._b.start(tag, src)
 
     def handle_endtag(self, tag: str) -> None:
         self._b.end(tag)
@@ -281,8 +304,8 @@ class _StdlibParser(HTMLParser):
         self._b.data(data)
 
 
-def parse_blocks(html_text: str, engine: str = "fast") -> list[Block]:
-    """Segment an HTML document into annotated text blocks.
+def parse_document(html_text: str, engine: str = "fast") -> tuple[list[Block], list[str]]:
+    """Segment an HTML document into annotated text blocks + image srcs.
 
     Tolerant of malformed markup — neither engine raises, and the
     kind-stack pops defensively.
@@ -294,4 +317,9 @@ def parse_blocks(html_text: str, engine: str = "fast") -> list[Block]:
         p = _StdlibParser(b)
         p.feed(html_text)
         p.close()
-    return b.finish()
+    return b.finish(), b.images
+
+
+def parse_blocks(html_text: str, engine: str = "fast") -> list[Block]:
+    """Blocks-only view of :func:`parse_document`."""
+    return parse_document(html_text, engine)[0]

@@ -33,6 +33,7 @@ ARROW_EXTRACTED_SCHEMA = pa.schema(
         ("text", pa.string()),
         ("markdown", pa.string()),
         ("spans", pa.list_(_ARROW_SPAN)),
+        ("images", pa.list_(pa.string())),
         ("error_class", pa.string()),
         ("encoding", pa.string()),
         ("extractor_version", pa.string()),
@@ -54,6 +55,7 @@ def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
         texts: list[str | None] = [None] * n
         mds: list[str | None] = [None] * n
         spans: list[list[dict] | None] = [None] * n
+        images: list[list[str] | None] = [None] * n
         errs: list[str | None] = [None] * n
         encs: list[str | None] = [None] * n
         nbytes: list[int] = [0] * n
@@ -67,6 +69,7 @@ def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
             spans[i] = [
                 {"start": s, "end": e, "kind": k} for (s, e, k) in r.spans
             ]
+            images[i] = list(r.images)
             errs[i] = r.error_class
             encs[i] = r.encoding
             nbytes[i] = len(raw) if raw is not None else 0
@@ -79,6 +82,7 @@ def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
                 pa.array(texts, pa.string()),
                 pa.array(mds, pa.string()),
                 pa.array(spans, pa.list_(_ARROW_SPAN)),
+                pa.array(images, pa.list_(pa.string())),
                 pa.array(errs, pa.string()),
                 pa.array(encs, pa.string()),
                 pa.array([EXTRACTOR_VERSION] * n, pa.string()),

@@ -18,7 +18,7 @@ from mistral_ocr_spark import EXTRACTOR_VERSION
 from mistral_ocr_spark.extractor.classify import classify
 from mistral_ocr_spark.extractor.core import ExtractResult, _normalize
 from mistral_ocr_spark.extractor.decode import decode_html
-from mistral_ocr_spark.extractor.parser import parse_blocks
+from mistral_ocr_spark.extractor.parser import parse_document
 from mistral_ocr_spark.extractor.pdf import PDF_MAGIC, extract_pdf_text
 from mistral_ocr_spark.extractor.render import render
 
@@ -52,12 +52,12 @@ def extract_reference(html: bytes | None, fallback_text: str | None = None) -> E
         text = "\n\n".join(parts)
         return ExtractResult(text, text, spans, None, "pdf")
     decoded, encoding = decode_html(html)
-    blocks = classify(parse_blocks(decoded, engine="stdlib"))
-    content = [b for b in blocks if b.is_content]
+    blocks, images = parse_document(decoded, engine="stdlib")
+    content = [b for b in classify(blocks) if b.is_content]
     if not content:
-        return ExtractResult(None, None, [], "no_content", encoding)
+        return ExtractResult(None, None, [], "no_content", encoding, tuple(images))
     text, markdown, spans = render(content)
-    return ExtractResult(text, markdown, spans, None, encoding)
+    return ExtractResult(text, markdown, spans, None, encoding, tuple(images))
 
 
 def run_oracle(pages_parquet: str, out_parquet: str) -> int:

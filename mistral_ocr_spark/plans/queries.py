@@ -88,6 +88,20 @@ def pipeline_spans(spark, sf_dir):
 
 
 @_q(
+    "pipeline_images",  # image extraction alongside text (spec req. §1:3)
+    f"SELECT {URL_SQL} AS url, CAST(1 AS BIGINT) AS n_images, "
+    "'/img/doc-' || doc_id || '.png' AS first_image FROM documents",
+)
+def pipeline_images(spark, sf_dir):
+    ext = extract_pages(pages_from_documents(spark, sf_dir))
+    return ext.select(
+        "url",
+        F.size("images").cast("bigint").alias("n_images"),
+        F.element_at("images", 1).alias("first_image"),
+    )
+
+
+@_q(
     "host_distribution",
     "SELECT 'host-' || (doc_id % 50) || '.example.com' AS host, "
     "CAST(count(*) AS BIGINT) AS n_pages FROM documents GROUP BY 1",

@@ -144,6 +144,57 @@ def read_errors(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
+def compact(
+    spark: SparkSession,
+    root: str,
+    target_rows_per_file: int = 250_000,
+    expire_old_files: bool = False,
+) -> dict[str, Any]:
+    """Bin-pack the extracted table's data files into ~target-sized files —
+    the Iceberg rewrite_data_files analog. Per-chunk writes at high
+    parallelism leave many small files (tiny at test scale, metadata- and
+    open-cost-bound at 10^12 rows); compaction rewrites them under a new
+    snapshot while preserving committed-chunk resume state and lineage.
+
+    ``expire_old_files`` deletes the superseded files after the commit
+    (readers holding the old manifest in a long transaction would need
+    snapshot-expiry grace periods on a real system; tests keep it False).
+    """
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401  (parity with callers)
+
+    m = load_manifest(root)
+    if not m["data_files"]:
+        return m
+    from mistral_ocr_spark.sources.tables import EXTRACTED_TABLE_SCHEMA
+
+    df = spark.read.schema(EXTRACTED_TABLE_SCHEMA).parquet(*m["data_files"])
+    total = df.count()
+    n_files = max(1, math.ceil(total / target_rows_per_file))
+    out_dir = os.path.join(root, "data", f"compact-{m['snapshot_id'] + 1}")
+    df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    new_files = list_parquet_files(out_dir)
+
+    new = {
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent": m["snapshot_id"],
+        "committed_chunks": m["committed_chunks"],
+        "data_files": new_files,
+        "lineage_files": m["lineage_files"],
+    }
+    name = f"manifest-{new['snapshot_id']:012d}.json"
+    _atomic_write(os.path.join(root, _MANIFEST_DIR, name), json.dumps(new, indent=1))
+    _atomic_write(os.path.join(root, _CURRENT), name)
+    if expire_old_files:
+        for f in m["data_files"]:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+    return new
+
+
 def list_parquet_files(path: str) -> list[str]:
     """Absolute paths of the parquet part files under a just-written dir."""
     out = []

@@ -69,7 +69,9 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<article><h1>Doc "
         ),
         F.col("doc_id").cast("string"),
-        F.lit("</h1><p>"),
+        F.lit('</h1><img src="/img/doc-'),
+        F.col("doc_id").cast("string"),
+        F.lit('.png" alt="figure"><p>'),
         esc,
         F.lit(
             "</p></article>"
@@ -145,12 +147,13 @@ def _make_page(i: int) -> tuple[str, bytes | None, str | None, str]:
     if i % 5 == 0:
         items = "".join(f"<li>{_words(i, 90 + j, 6)}</li>" for j in range(3))
         maybe_list = f"<ul>{items}</ul>"
+    maybe_img = f'<img src="/img/page-{i}.png">' if i % 7 == 0 else ""
     malformed = "<div><p>" if i % 89 == 1 else ""  # unclosed tags edge
     doc = (
         "<html><head><title>Page</title></head><body>"
         '<nav><ul><li><a href="/">Home</a></li><li><a href="/a">A</a></li>'
         '<li><a href="/b">B</a></li></ul></nav>'
-        f"<article><h2>Section {i % 7}</h2>{malformed}"
+        f"<article><h2>Section {i % 7}</h2>{malformed}{maybe_img}"
         f"{''.join(paras)}{maybe_list}</article>"
         '<footer><a href="/t">T</a> <a href="/p">P</a></footer></body></html>'
     )

@@ -40,6 +40,7 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("text", T.StringType(), True),
         T.StructField("markdown", T.StringType(), True),
         T.StructField("spans", T.ArrayType(SPAN_TYPE), True),
+        T.StructField("images", T.ArrayType(T.StringType()), True),
         T.StructField("error_class", T.StringType(), True),
         T.StructField("encoding", T.StringType(), True),
         T.StructField("extractor_version", T.StringType(), False),

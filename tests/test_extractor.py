@@ -116,6 +116,17 @@ def test_pdf_unsupported():
     assert r.text is None
 
 
+def test_images_extracted():
+    html = (
+        b'<html><body><nav><img src="/logo.png"></nav>'
+        b'<article><img src="/fig1.png" alt="f"><p>words</p>'
+        b"<img src='/fig2.jpg'><img data-src=\"/lazy.png\"></article></body></html>"
+    )
+    r = extract(html)
+    # chrome images excluded; data-src is not src; document order kept
+    assert r.images == ("/fig1.png", "/fig2.jpg")
+
+
 def test_entity_roundtrip():
     r = extract(b"<article><p>a &amp; b &lt; c &gt; d &#x27;q&#x27;</p></article>")
     assert r.text == "a & b < c > d 'q'"

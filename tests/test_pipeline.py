@@ -97,6 +97,22 @@ def test_merge_latest_wins(spark, table_root):
     assert latest.filter(F.col("run_id") == "run-0002").count() == n_subset
 
 
+def test_compaction_preserves_table(spark, table_root):
+    pages = generate_pages(spark, 1200, partitions=4)
+    pipeline.run(spark, pages, table_root, n_chunks=2, num_partitions=8)
+    before = catalog.load_manifest(table_root)
+    rows_before = {r.url for r in catalog.read_extracted(spark, table_root).select("url").collect()}
+    assert len(before["data_files"]) == 16  # 2 chunks x 8 partitions
+
+    after = catalog.compact(spark, table_root, target_rows_per_file=1000)
+    assert len(after["data_files"]) == 2  # 1200 rows / 1000 per file
+    rows_after = {r.url for r in catalog.read_extracted(spark, table_root).select("url").collect()}
+    assert rows_after == rows_before
+    # resume state survives compaction: nothing reprocessed
+    s = pipeline.run(spark, pages, table_root, n_chunks=2, num_partitions=8)
+    assert s["chunks_done"] == 0 and s["chunks_skipped"] == 2
+
+
 def test_lineage_counters(spark, table_root):
     pages = generate_pages(spark, 1000, partitions=4)
     pipeline.run(spark, pages, table_root, n_chunks=2, num_partitions=4)
