@@ -19,7 +19,9 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame
 
 from mistral_ocr_spark import EXTRACTOR_VERSION
-from mistral_ocr_spark.extractor import extract
+from mistral_ocr_spark.extractor import ExtractResult, extract
+
+_FAILED = ExtractResult(None, None, [], "extractor_error", None)
 
 # Arrow-level output schema; must stay in sync with tables.EXTRACTED_SCHEMA.
 _ARROW_SPAN = pa.struct(
@@ -63,7 +65,14 @@ def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
         for i in range(n):
             raw = htmls[i].as_py()
             fb = fallbacks[i].as_py()
-            r = extract(raw, fb)
+            try:
+                r = extract(raw, fb)
+            except Exception:  # defensive: one bad row must not fail the
+                # batch/task — per-row error capture like the reference's
+                # error_files side channel (simple_client.py:630-664).
+                # extract() is property-tested total, so this is insurance
+                # against pathological inputs only.
+                r = _FAILED
             texts[i] = r.text
             mds[i] = r.markdown
             spans[i] = [

@@ -120,10 +120,12 @@ def _words(doc_id: int, para: int, n: int) -> str:
     return " ".join(_VOCAB[(base + j * _K2) % v] for j in range(n))
 
 
-def _make_page(i: int) -> tuple[str, bytes | None, str | None, str]:
+def _make_page(
+    i: int, hot_tenths: int = 3
+) -> tuple[str, bytes | None, str | None, str]:
     """Return (url, html, fallback_text, lang) for row id i. Pure in i."""
     h = _h(i)
-    if i % 10 < 3:  # deliberately hot host: 30% of rows
+    if i % 10 < hot_tenths:  # deliberately hot host (default 30% of rows)
         host = _HOT_HOST
     else:
         host = f"host-{h % 997}.example.com"
@@ -164,7 +166,7 @@ def _make_page(i: int) -> tuple[str, bytes | None, str | None, str]:
     return url, doc.encode("utf-8"), None, lang
 
 
-def _gen_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _gen_batches(batches: Iterator[pa.RecordBatch], hot_tenths: int = 3) -> Iterator[pa.RecordBatch]:
     import datetime as _dt
 
     base = _dt.datetime(2024, 1, 1, 10, 0, 0)
@@ -172,7 +174,7 @@ def _gen_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ids = batch.column("id").to_pylist()
         urls, htmls, texts, langs, tss = [], [], [], [], []
         for i in ids:
-            url, html, text, lang = _make_page(i)
+            url, html, text, lang = _make_page(i, hot_tenths)
             urls.append(url)
             htmls.append(html)
             texts.append(text)
@@ -190,7 +192,16 @@ def _gen_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         )
 
 
-def generate_pages(spark: SparkSession, n_rows: int, partitions: int = 32) -> DataFrame:
-    """Seeded Common-Crawl-style pages corpus (see module docstring)."""
+def generate_pages(
+    spark: SparkSession, n_rows: int, partitions: int = 32, hot_tenths: int = 3
+) -> DataFrame:
+    """Seeded Common-Crawl-style pages corpus (see module docstring).
+
+    ``hot_tenths``: tenths of the corpus assigned to the single hot host
+    (3 → 30%; crank to 8 for pathological-skew tests).
+    """
+    import functools
+
     rng = spark.range(0, n_rows, 1, partitions)
-    return rng.mapInArrow(_gen_batches, PAGES_SCHEMA)
+    gen = functools.partial(_gen_batches, hot_tenths=hot_tenths)
+    return rng.mapInArrow(gen, PAGES_SCHEMA)

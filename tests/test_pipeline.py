@@ -80,6 +80,16 @@ def test_salting_bounds_skew(spark, table_root):
     assert max(ns) <= 2 * (sum(ns) / len(ns)), f"skew too high: {ns}"
 
 
+def test_salting_bounds_pathological_skew(spark, table_root):
+    """80% of the crawl on ONE host — the salt must still spread it."""
+    pages = generate_pages(spark, 6000, partitions=6, hot_tenths=8)
+    pipeline.run(spark, pages, table_root, n_chunks=1, num_partitions=12)
+    lin = catalog.read_lineage(spark, table_root)
+    ns = [r.n for r in lin.groupBy("partition_id").agg(F.sum("doc_count").alias("n")).collect()]
+    assert len(ns) == 12  # hot host did NOT collapse to few partitions
+    assert max(ns) <= 2 * (sum(ns) / len(ns)), f"skew too high: {ns}"
+
+
 def test_merge_latest_wins(spark, table_root):
     """J4 reconcile semantics: a later run re-extracting a url subset
     supersedes the earlier rows at read time (exactly one row per url)."""
