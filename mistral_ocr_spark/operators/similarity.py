@@ -84,6 +84,35 @@ def lsh_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via random-hyperplane bucketing — the web-scale path:
+    candidates share a signature bucket (high-cosine pairs collide with
+    probability (1 - θ/π)^n_planes), exact cosine verifies. Recall < 1 by
+    construction; the exact variant (embedding_near_dup_pairs) is the
+    test-scale oracle.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    b = embeddings.select("vec_id", vec_col).withColumn(
+        "bucket", lsh_bucket_col(F.col(vec_col), planes)
+    )
+    x = b.select(
+        F.col("vec_id").alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    y = b.select(
+        F.col("vec_id").alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    cand = x.join(y, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return cand.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_id: int,

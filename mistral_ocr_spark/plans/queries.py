@@ -712,6 +712,41 @@ def dedup_embedding_cosine(spark, sf_dir):
     return S.embedding_near_dup_pairs(_aug_embeddings(spark, sf_dir), 0.9, vec_col="emb")
 
 
+_QUALITY_WITH_TOKENS = _quality_oracle().replace(
+    "SELECT doc_id,",
+    "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+    " AS n_tokens,",
+)
+
+_TRAINSET_ORACLE = f"""WITH aug AS (SELECT doc_id, text FROM documents UNION ALL
+                 SELECT doc_id + 200000, text FROM documents),
+keepers AS (SELECT md5(trim(regexp_replace(text, '{chr(92)}s+', ' ', 'g'))) AS fp,
+                   CAST(min(doc_id) AS BIGINT) AS doc_id FROM aug GROUP BY 1),
+q AS ({_QUALITY_WITH_TOKENS})
+SELECT k.doc_id, q.quality, q.n_tokens FROM keepers k
+JOIN q ON k.doc_id = q.doc_id
+WHERE q.quality >= 0.5 AND q.n_tokens >= 20"""
+
+
+@_q(
+    "trainset_select",
+    # Composed training-set selection: exact-dedup keepers (min doc_id per
+    # normalized-text fingerprint over the duplicated corpus) that also
+    # pass the quality threshold and a token floor.
+    _TRAINSET_ORACLE,
+)
+def trainset_select(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.unionAll(d.select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+    keepers = D.exact_dedup(aug).select(F.col("keeper_id").alias("doc_id"))
+    scored = X.with_quality_score(X.with_token_count(d))
+    return (
+        keepers.join(scored, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
+        .select("doc_id", "quality", "n_tokens")
+    )
+
+
 # ===========================================================================
 # Similarity search
 # ===========================================================================
@@ -730,6 +765,21 @@ def ann_cosine_topk(spark, sf_dir):
 @_q("ann_lsh_topk", None)  # ANN: recall < 1 by design → rows-only
 def ann_lsh_topk(spark, sf_dir):
     return S.lsh_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@_q(
+    # Bucketed near-dup (scale path). Oracle-checkable here because the
+    # fixture's true pairs have cosine exactly 1 → identical sign-bit
+    # signatures → recall 1 on this corpus (general recall < 1).
+    "dedup_embedding_lsh",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+       FROM {_EMB_AUG_SQL} a, {_EMB_AUG_SQL} b
+       WHERE a.vec_id < b.vec_id
+       AND list_cosine_similarity(a.emb, b.emb) >= 0.9""",
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    return S.embedding_near_dup_lsh(_aug_embeddings(spark, sf_dir), 0.9, vec_col="emb")
 
 
 # ===========================================================================

@@ -1,0 +1,66 @@
+"""End-to-end CLI workflow test — models the reference's integration suite
+(/root/reference/tests/integration/test_cli_integration.py): submit →
+status → results → search → export → files against a real table."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from mistral_ocr_spark import cli
+
+
+@pytest.fixture()
+def table(spark):
+    # `spark` fixture keeps the session alive; cli.get_spark() reuses it
+    # via getOrCreate.
+    root = tempfile.mkdtemp(prefix="ocr_cli_it_")
+    yield f"{root}/tbl", root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_full_cli_workflow(table, capsys):
+    tbl, root = table
+    assert cli.main(["submit", "--table", tbl, "--generate", "400", "--chunks", "2"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs"] == 400
+
+    assert cli.main(["status", "--table", tbl]) == 0
+    out = capsys.readouterr().out
+    assert "complete" in out and "run-0001" in out
+
+    # pick a committed url, fetch its results
+    from mistral_ocr_spark.sources import catalog
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    row = (
+        catalog.read_extracted(spark, tbl)
+        .filter("error_class IS NULL")
+        .select("url")
+        .first()
+    )
+    assert cli.main(["results", "--table", tbl, "--url", row.url]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["url"] == row.url and rec["text"]
+
+    # missing url → exit 1 (reference: graceful, no traceback)
+    assert cli.main(["results", "--table", tbl, "--url", "https://nope/x"]) == 1
+    capsys.readouterr()
+
+    assert cli.main(["search", "--table", tbl, "--query", "spark"]) == 0
+    capsys.readouterr()
+
+    dest = f"{root}/tree"
+    assert cli.main(["export", "--table", tbl, "--dest", dest, "--limit", "25"]) == 0
+    exported = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert exported["exported"] == 25
+    assert any(f.endswith(".txt") for _d, _s, fs in os.walk(dest) for f in fs)
+
+    assert cli.main(["files", "--table", tbl]) == 0
+    manifest = json.loads(capsys.readouterr().out)
+    assert manifest["committed_chunks"]["run-0001"] == [0, 1]
