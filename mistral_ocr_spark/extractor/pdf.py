@@ -14,8 +14,11 @@ reference's error_files side channel, simple_client.py:630-664).
 from __future__ import annotations
 
 import re
+import zlib
 
 PDF_MAGIC = b"%PDF-"
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _TJ_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*Tj|\[(?:[^\]\\]|\\.)*\]\s*TJ", re.DOTALL)
@@ -44,11 +47,31 @@ def _unescape(s: bytes) -> bytes:
     return _ESC_RE.sub(sub, s)
 
 
+def _inflate_streams(raw: bytes) -> bytes:
+    """Append zlib-inflated content streams (FlateDecode — the standard
+    PDF content-stream filter) so BT/ET extraction sees compressed text
+    objects too. Non-zlib streams (images, other filters) are skipped.
+    Deterministic: streams are concatenated in document order."""
+    inflated: list[bytes] = []
+    for m in _STREAM_RE.finditer(raw):
+        body = m.group(1)
+        if body[:1] != b"\x78":  # zlib magic (0x78 = deflate, 32K window)
+            continue
+        try:
+            # decompressobj tolerates trailing \r\n before `endstream`
+            inflated.append(zlib.decompressobj().decompress(body))
+        except zlib.error:
+            continue
+    return raw + b"\n" + b"\n".join(inflated) if inflated else raw
+
+
 def extract_pdf_text(raw: bytes) -> list[str] | None:
     """Extract text-object strings; one output string per BT/ET object.
 
-    Returns None when no text objects are found (→ unsupported_pdf).
+    Handles plain and FlateDecode-compressed content streams. Returns None
+    when no text objects are found (→ unsupported_pdf).
     """
+    raw = _inflate_streams(raw)
     paragraphs: list[str] = []
     for obj in _BT_ET_RE.finditer(raw):
         pieces: list[str] = []

@@ -142,7 +142,11 @@ def run(
             salted_repartition(chunk_pages, num_partitions, salt_buckets)
         ).withColumn("run_id", F.lit(run_id))
         data_path = os.path.join(out_root, "data", f"run={run_id}", f"chunk={chunk}")
-        extracted.write.mode("overwrite").parquet(data_path)
+        # Sort by url within each partition before writing: parquet
+        # row-group min/max stats become tight url ranges, so point
+        # lookups (results/search verbs) prune row groups instead of
+        # scanning the table — no extra shuffle, just a per-partition sort.
+        extracted.sortWithinPartitions("url").write.mode("overwrite").parquet(data_path)
         data_files = catalog.list_parquet_files(data_path)
 
         lineage = _lineage_from_written(spark, data_files, run_id, chunk, started)

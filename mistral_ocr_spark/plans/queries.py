@@ -260,6 +260,36 @@ def latest_event_per_user(spark, sf_dir):
 
 
 @_q(
+    "event_sessionization",  # window-function depth: gap-based sessions
+    # New session when >30 min passed since the user's previous event;
+    # session_id = cumulative count of session starts per user.
+    "SELECT user_id, event_id, CAST(session_id AS BIGINT) AS session_id FROM ("
+    "  SELECT user_id, event_id, sum(is_new) OVER ("
+    "    PARTITION BY user_id ORDER BY ts, event_id"
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM ("
+    "    SELECT user_id, event_id, ts, CASE WHEN lag(ts) OVER ("
+    "      PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 "
+    "      WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new FROM events)) "
+    "WHERE user_id < 20",
+)
+def event_sessionization(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap = F.col("ts") - prev_ts  # day-time interval
+    is_new = F.when(
+        prev_ts.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wsum).cast("bigint"))
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+@_q(
     "topk_orders",  # O4: top-k without full sort (TakeOrderedAndProject)
     "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
 )

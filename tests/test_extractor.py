@@ -110,6 +110,20 @@ def test_pdf_text_objects():
     assert r.encoding == "pdf"
 
 
+def test_pdf_flate_compressed_stream():
+    import zlib
+
+    content = b"BT /F1 12 Tf (compressed hello) Tj ET"
+    pdf = (
+        b"%PDF-1.5\n4 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+        + zlib.compress(content)
+        + b"\nendstream\nendobj\n"
+    )
+    r = extract(pdf)
+    assert r.text == "compressed hello"
+    assert r.encoding == "pdf"
+
+
 def test_pdf_unsupported():
     r = extract(b"%PDF-1.7\nbinary junk only")
     assert r.error_class == "unsupported_pdf"

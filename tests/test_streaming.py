@@ -15,6 +15,48 @@ from mistral_ocr_spark.streaming.incremental import (
 )
 
 
+def test_stateful_host_stats_across_restarts(spark):
+    """applyInPandasWithState: per-host counters accumulate across two
+    separate stream invocations (state restored from the checkpoint), and
+    the final counters equal the batch groupBy over all input."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mistral_ocr_spark.streaming.stateful import host_stats_stream, latest_host_stats
+
+    base = tempfile.mkdtemp(prefix="ocr_state_")
+    pages_dir, out_dir, ckpt = f"{base}/pages", f"{base}/out", f"{base}/ckpt"
+
+    first = generate_pages(spark, 300, partitions=2)
+    first.write.mode("append").parquet(pages_dir)
+    host_stats_stream(spark, pages_dir, out_dir, ckpt)
+    hot_1 = latest_host_stats(spark, out_dir).filter("host = 'hot.example.com'").first()
+    assert hot_1.pages == 90  # 30% of 300
+
+    # new files land; state must carry over, not restart from zero
+    second = generate_pages(spark, 200, partitions=1).selectExpr(
+        "concat(url, '?r2') AS url", "warc_ts", "html", "text", "lang"
+    )
+    second.write.mode("append").parquet(pages_dir)
+    host_stats_stream(spark, pages_dir, out_dir, ckpt)
+
+    stats = {r.host: (r.pages, r.bytes) for r in latest_host_stats(spark, out_dir).collect()}
+    expected = {
+        r.host: (r.pages, r.bytes)
+        for r in spark.read.parquet(pages_dir)
+        .groupBy(F.parse_url("url", F.lit("HOST")).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("pages"),
+            F.sum(F.coalesce(F.octet_length("html"), F.lit(0))).alias("bytes"),
+        )
+        .collect()
+    }
+    assert stats == expected
+    assert stats["hot.example.com"][0] == 150  # 90 + 60
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_windowed_counts_match_batch(spark):
     """Watermarked streaming window agg == batch window agg on a finite
     input (all windows emit under AvailableNow because the stream ends)."""
