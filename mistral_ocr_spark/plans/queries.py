@@ -584,6 +584,59 @@ def tpch_q5_local_revenue(spark, sf_dir):
     )
 
 
+@_q(
+    "rollup_returns",  # hierarchical totals (ROLLUP) with grouping flags
+    "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
+    "coalesce(l_linestatus, 'ALL') AS linestatus, "
+    "CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+)
+def rollup_returns(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@_q(
+    "quantiles_qty",  # exact interpolated percentiles per group
+    "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50, "
+    "round(quantile_cont(l_quantity, 0.9), 6) AS p90 "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def quantiles_qty(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+    )
+
+
+@_q(
+    "stats_agg",  # corr / stddev statistical aggregates
+    "SELECT o_orderpriority, round(corr(o_totalprice, o_custkey), 6) AS price_cust_corr, "
+    "round(stddev_samp(o_totalprice), 4) AS price_sd, CAST(count(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def stats_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("price_sd"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
 # ===========================================================================
 # Text analysis (training-data pipeline ops; JVM-side formulas, oracled)
 # ===========================================================================
