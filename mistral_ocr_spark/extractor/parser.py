@@ -101,6 +101,37 @@ _SRC_RE = re.compile(
     r"""(?<![\w-])src\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
 )
 
+# Precomputed per-tag dispatch info — one dict lookup replaces six
+# frozenset membership tests in the hottest loop.
+# (is_ignore, is_block, chrome_delta, article_delta, kind_or_None, pops_kind)
+_TAG_INFO: dict[str, tuple[bool, bool, int, int, tuple[str, int] | None, bool]] = {}
+for _t in _IGNORE_TAGS:
+    _TAG_INFO[_t] = (True, False, 0, 0, None, False)
+for _t in _BLOCK_TAGS:
+    _TAG_INFO[_t] = (False, True, 0, 0, None, False)
+for _t in _CHROME_TAGS:
+    _TAG_INFO[_t] = (False, _t in _BLOCK_TAGS, 1, 0, None, False)
+for _t in _ARTICLE_TAGS:
+    _TAG_INFO[_t] = (False, _t in _BLOCK_TAGS, 0, 1, None, False)
+for _t, _lvl in _HEADING_LEVEL.items():
+    _TAG_INFO[_t] = (False, True, 0, 0, ("heading", _lvl), True)
+for _t, _kind in (
+    ("li", "list_item"),
+    ("td", "table"),
+    ("th", "table"),
+    ("tr", "table"),
+    ("table", "table"),
+    ("caption", "table"),
+    ("title", "title"),
+    ("pre", "pre"),
+    ("p", "paragraph"),
+    ("blockquote", "paragraph"),
+):
+    _TAG_INFO[_t] = (False, _t in _BLOCK_TAGS, 0, 0, (_kind, 0), True)
+# 'a' and 'img' carry their own handling flags via sentinel kinds
+_TAG_INFO["a"] = (False, False, 0, 0, None, False)
+_TAG_INFO["img"] = (False, False, 0, 0, None, False)
+
 
 class _BlockBuilder:
     """Shared state machine: tag/data events in, annotated Blocks out."""
@@ -129,74 +160,80 @@ class _BlockBuilder:
         self._article_depth = 0
         self._kind_stack: list[tuple[str, int]] = []
 
-    def _flush(self) -> None:
-        if self._cur.text:
-            self.blocks.append(self._cur)
-        self._cur = self._fresh_block()
-
-    def _fresh_block(self) -> Block:
-        b = Block()
+    def _sync_cur(self) -> None:
+        """Point the current (reused-if-empty) block at the present context."""
+        c = self._cur
+        if c.parts:
+            # Whitespace-only accumulation that didn't survive _flush —
+            # drop it and reset the cached text.
+            c.parts.clear()
+            c.chars = 0
+            c.link_chars = 0
+        c._text = None
         if self._kind_stack:
-            b.kind, b.level = self._kind_stack[-1]
-        b.in_article = self._article_depth > 0
-        b.in_chrome = self._chrome_depth > 0
-        return b
+            c.kind, c.level = self._kind_stack[-1]
+        else:
+            c.kind, c.level = "paragraph", 0
+        c.in_article = self._article_depth > 0
+        c.in_chrome = self._chrome_depth > 0
+
+    def _flush(self) -> None:
+        c = self._cur
+        if c.parts and c.text:
+            self.blocks.append(c)
+            self._cur = Block()
 
     def start(self, tag: str, src: str | None = None) -> None:
-        if tag in _IGNORE_TAGS:
+        info = _TAG_INFO.get(tag)
+        if info is None:
+            return  # inline/unknown tag: no block effect
+        if info[0]:  # ignore region
             self._ignore_depth += 1
             return
         if self._ignore_depth:
+            return
+        if tag == "a":
+            self._a_depth += 1
             return
         if tag == "img":
             if src and not self._chrome_depth:
                 self.images.append(src)
             return
-        if tag in _BLOCK_TAGS:
+        _ig, is_block, chrome_d, article_d, kind, _pops = info
+        if is_block:
             self._flush()
-        if tag in _CHROME_TAGS:
+        if chrome_d:
             self._chrome_depth += 1
-        elif tag in _ARTICLE_TAGS:
+        elif article_d:
             self._article_depth += 1
-        elif tag == "a":
-            self._a_depth += 1
-
-        kind = None
-        if tag in _HEADING_LEVEL:
-            kind = ("heading", _HEADING_LEVEL[tag])
-        elif tag == "li":
-            kind = ("list_item", 0)
-        elif tag in ("td", "th", "tr", "table", "caption"):
-            kind = ("table", 0)
-        elif tag == "title":
-            kind = ("title", 0)
-        elif tag == "pre":
-            kind = ("pre", 0)
-        elif tag in ("p", "blockquote"):
-            kind = ("paragraph", 0)
-        if kind is not None and tag not in _VOID_TAGS:
+        if kind is not None:
             self._kind_stack.append(kind)
-            self._cur = self._fresh_block()
+        self._sync_cur()
 
     def end(self, tag: str) -> None:
-        if tag in _IGNORE_TAGS:
+        info = _TAG_INFO.get(tag)
+        if info is None:
+            return
+        if info[0]:
             self._ignore_depth = max(0, self._ignore_depth - 1)
             return
         if self._ignore_depth:
             return
-        if tag in _BLOCK_TAGS:
-            self._flush()
-        if tag in _CHROME_TAGS:
-            self._chrome_depth = max(0, self._chrome_depth - 1)
-        elif tag in _ARTICLE_TAGS:
-            self._article_depth = max(0, self._article_depth - 1)
-        elif tag == "a":
+        if tag == "a":
             self._a_depth = max(0, self._a_depth - 1)
-
-        if tag in _HEADING_LEVEL or tag in _KIND_TAGS:
-            if self._kind_stack:  # malformed-nesting safe
-                self._kind_stack.pop()
-            self._cur = self._fresh_block()
+            return
+        if tag == "img":
+            return
+        _ig, is_block, chrome_d, article_d, _kind, pops = info
+        if is_block:
+            self._flush()
+        if chrome_d:
+            self._chrome_depth = max(0, self._chrome_depth - 1)
+        elif article_d:
+            self._article_depth = max(0, self._article_depth - 1)
+        if pops and self._kind_stack:  # malformed-nesting safe
+            self._kind_stack.pop()
+        self._sync_cur()
 
     def data(self, text: str) -> None:
         if self._ignore_depth or not text:
