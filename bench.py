@@ -141,9 +141,15 @@ def main() -> None:
 
             # headline: extraction throughput
             secs = _extract_job(spark, pages_path, f"{tmp}/out-main", CPUS)
-            n_docs = spark.read.parquet(f"{tmp}/out-main").count()
+            agg = (
+                spark.read.parquet(f"{tmp}/out-main")
+                .selectExpr("count(*) AS n", "sum(html_bytes) AS b")
+                .collect()[0]
+            )
+            n_docs = agg.n
             result["queries"]["extract_throughput"] = round(secs, 3)
             result["extract_docs_per_sec"] = round(n_docs / secs, 1)
+            result["extract_mb_per_sec"] = round(agg.b / secs / 1e6, 1)
             result["extract_n_docs"] = n_docs
 
             for name in BENCH_QUERIES:
