@@ -585,6 +585,40 @@ def tpch_q5_local_revenue(spark, sf_dir):
 
 
 @_q(
+    "array_agg_parts",  # ordered collect/array aggregation per key
+    "SELECT l_orderkey, string_agg(DISTINCT CAST(l_partkey AS VARCHAR), ',' "
+    "ORDER BY CAST(l_partkey AS VARCHAR)) AS part_list "
+    "FROM lineitem WHERE l_orderkey % 500 = 0 GROUP BY l_orderkey",
+)
+def array_agg_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set(F.col("l_partkey").cast("string")))
+        ).alias("part_list")
+    )
+
+
+@_q(
+    "set_except",  # §2.7 set ops: EXCEPT (beyond the anti-join resume filter)
+    "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 350000 "
+    "EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 0",
+)
+def set_except(spark, sf_dir):
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 350000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    neg = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return big.subtract(neg)  # set-semantics EXCEPT (dedups like SQL EXCEPT)
+
+
+@_q(
     "rollup_returns",  # hierarchical totals (ROLLUP) with grouping flags
     "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
     "coalesce(l_linestatus, 'ALL') AS linestatus, "
