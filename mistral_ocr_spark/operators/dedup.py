@@ -116,16 +116,13 @@ def _minhash_batch_fn(num_hashes: int):
     def fn(batches):
         for pdf in batches:
             sigs = []
-            for shingles in pdf["shingles"]:
-                if len(shingles) == 0:
+            for hashes in pdf["sh_hash"]:
+                if len(hashes) == 0:
                     sigs.append([int(_MAX32)] * num_hashes)
                     continue
-                base = np.fromiter(
-                    (zlib.crc32(s.encode("utf-8")) for s in shingles),
-                    dtype=np.uint64,
-                    count=len(shingles),
-                )
-                # (a*h + b) mod mersenne61, min over shingles, per permutation
+                # shingle hashes arrive pre-computed (JVM xxhash64);
+                # fold signed int64 → uint64, then per-permutation min
+                base = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
                 m = (np.outer(base, a) + b) % _MERSENNE
                 sigs.append((m.min(axis=0) & _MAX32).astype(np.int64).tolist())
             yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
@@ -136,8 +133,16 @@ def _minhash_batch_fn(num_hashes: int):
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 64, key_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, sig: array<bigint>[num_hashes]) via one Arrow-batched pass."""
-    sh = with_shingles(docs, text_col).select(F.col(key_col).alias("id"), "shingles")
+    """(id, sig: array<bigint>[num_hashes]) via one Arrow-batched pass.
+
+    Shingle *string* hashing runs JVM-side (``xxhash64`` inside a
+    ``transform`` — whole-stage codegen); Python only does the numpy
+    permutation/min reduction over the pre-hashed int64 array.
+    """
+    sh = with_shingles(docs, text_col).select(
+        F.col(key_col).alias("id"),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hash"),
+    )
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
