@@ -152,6 +152,24 @@ def main() -> None:
             result["extract_mb_per_sec"] = round(agg.b / secs / 1e6, 1)
             result["extract_n_docs"] = n_docs
 
+            # realistic-size pages (~14 KB avg, Common-Crawl-like): MB-bound
+            # throughput of the same extraction path
+            from mistral_ocr_spark.sources.fixtures import generate_pages
+
+            large_path = f"{tmp}/pages-large"
+            generate_pages(
+                spark, 30_000, partitions=CPUS * 2, paras_mult=40
+            ).write.mode("overwrite").parquet(large_path)
+            secs_l = _extract_job(spark, large_path, f"{tmp}/out-large", CPUS)
+            agg_l = (
+                spark.read.parquet(f"{tmp}/out-large")
+                .selectExpr("count(*) AS n", "sum(html_bytes) AS b")
+                .collect()[0]
+            )
+            result["queries"]["extract_large_pages"] = round(secs_l, 3)
+            result["extract_large_docs_per_sec"] = round(agg_l.n / secs_l, 1)
+            result["extract_large_mb_per_sec"] = round(agg_l.b / secs_l / 1e6, 1)
+
             for name in BENCH_QUERIES:
                 if name == "pipeline_extract":
                     continue  # covered by extract_throughput above

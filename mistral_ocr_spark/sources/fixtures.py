@@ -121,7 +121,7 @@ def _words(doc_id: int, para: int, n: int) -> str:
 
 
 def _make_page(
-    i: int, hot_tenths: int = 3
+    i: int, hot_tenths: int = 3, paras_mult: int = 1
 ) -> tuple[str, bytes | None, str | None, str]:
     """Return (url, html, fallback_text, lang) for row id i. Pure in i."""
     h = _h(i)
@@ -141,7 +141,7 @@ def _make_page(
     if i % 97 == 1:  # empty body
         return url, b"<html><head><title>t</title></head><body></body></html>", None, lang
 
-    n_paras = 1 + i % 4
+    n_paras = (1 + i % 4) * paras_mult
     paras = []
     for p in range(n_paras):
         paras.append(f"<p>{_words(i, p, 8 + (h + p * 13) % 25)}</p>")
@@ -166,7 +166,9 @@ def _make_page(
     return url, doc.encode("utf-8"), None, lang
 
 
-def _gen_batches(batches: Iterator[pa.RecordBatch], hot_tenths: int = 3) -> Iterator[pa.RecordBatch]:
+def _gen_batches(
+    batches: Iterator[pa.RecordBatch], hot_tenths: int = 3, paras_mult: int = 1
+) -> Iterator[pa.RecordBatch]:
     import datetime as _dt
 
     base = _dt.datetime(2024, 1, 1, 10, 0, 0)
@@ -174,7 +176,7 @@ def _gen_batches(batches: Iterator[pa.RecordBatch], hot_tenths: int = 3) -> Iter
         ids = batch.column("id").to_pylist()
         urls, htmls, texts, langs, tss = [], [], [], [], []
         for i in ids:
-            url, html, text, lang = _make_page(i, hot_tenths)
+            url, html, text, lang = _make_page(i, hot_tenths, paras_mult)
             urls.append(url)
             htmls.append(html)
             texts.append(text)
@@ -193,15 +195,21 @@ def _gen_batches(batches: Iterator[pa.RecordBatch], hot_tenths: int = 3) -> Iter
 
 
 def generate_pages(
-    spark: SparkSession, n_rows: int, partitions: int = 32, hot_tenths: int = 3
+    spark: SparkSession,
+    n_rows: int,
+    partitions: int = 32,
+    hot_tenths: int = 3,
+    paras_mult: int = 1,
 ) -> DataFrame:
     """Seeded Common-Crawl-style pages corpus (see module docstring).
 
     ``hot_tenths``: tenths of the corpus assigned to the single hot host
     (3 → 30%; crank to 8 for pathological-skew tests).
+    ``paras_mult``: multiplies the paragraph count per page (1 → ~0.6-2 KB
+    pages; 20 → ~12 KB average, closer to real Common-Crawl page sizes).
     """
     import functools
 
     rng = spark.range(0, n_rows, 1, partitions)
-    gen = functools.partial(_gen_batches, hot_tenths=hot_tenths)
+    gen = functools.partial(_gen_batches, hot_tenths=hot_tenths, paras_mult=paras_mult)
     return rng.mapInArrow(gen, PAGES_SCHEMA)
