@@ -108,6 +108,23 @@ def cmd_list(args) -> int:
     return 0
 
 
+def cmd_cancel(args) -> int:
+    import os
+
+    marker = os.path.join(args.table, f"_CANCEL-{args.run_id}")
+    if args.clear:
+        try:
+            os.remove(marker)
+            print(json.dumps({"cleared": True, "run_id": args.run_id}))
+        except FileNotFoundError:
+            print(json.dumps({"cleared": False, "run_id": args.run_id}))
+        return 0
+    os.makedirs(args.table, exist_ok=True)
+    open(marker, "w").close()
+    print(json.dumps({"cancelled": True, "run_id": args.run_id}))
+    return 0
+
+
 def cmd_export(args) -> int:
     from mistral_ocr_spark.sources.io import export_download_tree
 
@@ -163,6 +180,12 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("files", help="manifest summary")
     s.add_argument("--table", required=True)
     s.set_defaults(func=cmd_files)
+
+    s = sub.add_parser("cancel", help="cooperatively cancel a run at the next chunk boundary")
+    s.add_argument("--table", required=True)
+    s.add_argument("--run-id", default="run-0001")
+    s.add_argument("--clear", action="store_true", help="clear the cancel marker")
+    s.set_defaults(func=cmd_cancel)
 
     s = sub.add_parser("export", help="write per-doc .txt/.md download tree")
     s.add_argument("--table", required=True)

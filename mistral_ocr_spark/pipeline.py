@@ -126,6 +126,7 @@ def run(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     os.makedirs(out_root, exist_ok=True)
+    cancel_marker = os.path.join(out_root, f"_CANCEL-{run_id}")
     done = catalog.committed_chunks(out_root, run_id)
     stats = {"chunks_done": 0, "chunks_skipped": len(done), "docs": 0, "seconds": 0.0}
     t0 = time.time()
@@ -135,6 +136,12 @@ def run(
         if chunk in done:
             continue
         if max_chunks is not None and stats["chunks_done"] >= max_chunks:
+            break
+        if os.path.exists(cancel_marker):
+            # Cooperative cancel (the reference's job-cancel verb,
+            # tests/test_mistral_ocr.py.original:223-225): committed chunks
+            # stay committed; clearing the marker + rerunning resumes.
+            stats["cancelled"] = True
             break
         started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         chunk_pages = pages.filter(chunk_expr == chunk)

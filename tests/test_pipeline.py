@@ -107,6 +107,22 @@ def test_merge_latest_wins(spark, table_root):
     assert latest.filter(F.col("run_id") == "run-0002").count() == n_subset
 
 
+def test_cancel_and_resume(spark, table_root):
+    """Cancel marker stops the run at a chunk boundary; clearing it and
+    re-running resumes from the committed chunks (reference cancel verb)."""
+    import os
+
+    pages = generate_pages(spark, 600, partitions=2)
+    open(os.path.join(table_root, f"_CANCEL-run-0001"), "w").close()
+    s1 = pipeline.run(spark, pages, table_root, n_chunks=2, num_partitions=4)
+    assert s1.get("cancelled") and s1["chunks_done"] == 0
+
+    os.remove(os.path.join(table_root, f"_CANCEL-run-0001"))
+    s2 = pipeline.run(spark, pages, table_root, n_chunks=2, num_partitions=4)
+    assert s2["chunks_done"] == 2
+    assert catalog.read_extracted(spark, table_root).count() == 600
+
+
 def test_compaction_preserves_table(spark, table_root):
     pages = generate_pages(spark, 1200, partitions=4)
     pipeline.run(spark, pages, table_root, n_chunks=2, num_partitions=8)
