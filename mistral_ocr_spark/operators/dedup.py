@@ -8,21 +8,24 @@ Scale notes (the 100 TB design point):
 - The shingle join carries an optional ``max_df`` document-frequency cut:
   shingles occurring in more than ``max_df`` documents are dropped before
   the join (stopword-shingles otherwise explode the join at web scale).
-- MinHash/SimHash signatures are computed in *one* Arrow-batched pandas
-  pass (numpy inside); candidate pairs then verify with built-in array /
-  bit functions — the expensive O(n²) work never touches Python.
+- MinHash signatures are computed in *one* Arrow-batched pandas pass
+  (numpy inside, shingle hashing JVM-side); SimHash signatures are pure
+  built-in expressions (no Python at all). Candidate pairs verify with
+  built-in array / bit functions — the O(n²) work never touches Python.
 - All hash functions are explicitly seeded/fixed — signatures are
   deterministic across executors, which resume/idempotency depends on.
 """
 
 from __future__ import annotations
 
-import zlib
+import math
+import os
+import tempfile
 
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -60,7 +63,14 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 # ---------------------------------------------------------------------------
 
 def with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Distinct word-3-gram shingle array per doc (built-in array exprs)."""
+    """Distinct word-3-gram shingle array per doc (built-in array exprs).
+
+    Documents with fewer than 3 words get a single shingle equal to the
+    whole normalized text — full 3-grams only otherwise, so the identical
+    CASE is expressible in ANSI SQL (concat_ws's NULL-skipping vs SQL ||'s
+    NULL-propagation never comes into play; the two engines agree on every
+    input length).
+    """
     w = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.greatest(F.size(w) - 2, F.lit(1))
     tri = F.transform(
@@ -69,7 +79,10 @@ def with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
             " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
         ),
     )
-    return docs.withColumn("shingles", F.array_distinct(tri))
+    shingles = F.when(F.size(w) < 3, F.array(F.array_join(w, " "))).otherwise(
+        F.array_distinct(tri)
+    )
+    return docs.withColumn("shingles", shingles)
 
 
 def jaccard_pairs_exact(
@@ -152,6 +165,13 @@ def minhash_signatures(
     return sh.mapInPandas(_minhash_batch_fn(num_hashes), schema)
 
 
+def hoeffding_margin(num_hashes: int, miss_prob: float = 1e-6) -> float:
+    """Signature-estimate prefilter margin sized so a true pair sitting
+    exactly at the threshold is dropped with probability ≤ ``miss_prob``
+    (Hoeffding: P[est < s - m] ≤ exp(-2·num_hashes·m²))."""
+    return math.sqrt(math.log(1.0 / miss_prob) / (2.0 * num_hashes))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float,
@@ -159,17 +179,34 @@ def minhash_lsh_pairs(
     bands: int = 32,
     key_col: str = "doc_id",
     text_col: str = "text",
+    prefilter: bool = True,
+    est_margin: float | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs ≥ threshold: LSH banding for candidates, then exact
     word-3-gram Jaccard verification (so output = exact answer set, with
     recall governed by the band/row choice: P[miss | s=0.6, 32 bands of 2]
     ≈ (1-0.36)^32 < 1e-6).
+
+    ``prefilter`` cuts candidate pairs whose signature-estimated Jaccard
+    sits more than ``est_margin`` below the threshold before the exact
+    verify join. The default margin is Hoeffding-sized for a ≤1e-6 miss
+    probability at the configured ``num_hashes`` (≈0.33 at 64 hashes), so
+    the output stays the exact answer set up to that bound.
+
+    When the prefilter is on, signatures feed three plan branches; they are
+    materialized once to a scratch parquet "signatures table" (the
+    production shape: an explicit Iceberg signatures table) instead of
+    ``persist()`` — no executor cache blocks outlive the query.
     """
     rows = num_hashes // bands
-    # Signatures feed three plan branches (banding, est-prefilter a/b);
-    # persist so the mapInPandas minhash kernel runs once, not 3-4 times.
-    # At production scale this would be an explicit signatures table.
-    sigs = minhash_signatures(docs, num_hashes, key_col, text_col).persist()
+    sigs = minhash_signatures(docs, num_hashes, key_col, text_col)
+    if prefilter:
+        if scratch_dir is None:
+            scratch_dir = tempfile.mkdtemp(prefix="ocr_minhash_sigs_")
+        sig_path = os.path.join(scratch_dir, "signatures.parquet")
+        sigs.write.mode("overwrite").parquet(sig_path)
+        sigs = docs.sparkSession.read.parquet(sig_path)
     band_cols = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -191,26 +228,27 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # Signature-estimate prefilter: E[matching minhash components] = true
-    # Jaccard, so pairs whose estimate sits far below the threshold are cut
-    # before the (expensive) exact-verification join. The 0.2 margin keeps
-    # the miss probability negligible (Hoeffding: exp(-2·64·0.2²) < 0.6%,
-    # and only for pairs sitting exactly at the threshold).
-    est_margin = 0.2
-    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
-    ) / F.lit(num_hashes)
-    cand = (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .filter(est >= threshold - est_margin)
-        .select("id_a", "id_b")
-    )
-    sh = with_shingles(docs, text_col).select(
-        F.col(key_col).alias("id"), "shingles"
-    ).persist()  # joined twice (a-side and b-side)
+    if prefilter:
+        # Signature-estimate prefilter: E[matching minhash components] =
+        # true Jaccard, so pairs whose estimate sits far below the
+        # threshold are cut before the (expensive) exact-verification join.
+        if est_margin is None:
+            est_margin = hoeffding_margin(num_hashes)
+        sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        est = F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        ) / F.lit(num_hashes)
+        cand = (
+            cand.join(sig_a, "id_a")
+            .join(sig_b, "id_b")
+            .filter(est >= threshold - est_margin)
+            .select("id_a", "id_b")
+        )
+    # Shingles are pure JVM array expressions over the docs scan — cheap to
+    # recompute on each join side; no persist() (zero cache blocks left
+    # behind in a long-lived session).
+    sh = with_shingles(docs, text_col).select(F.col(key_col).alias("id"), "shingles")
     verified = (
         cand.join(sh.withColumnRenamed("shingles", "sh_a"), cand.id_a == sh.id)
         .drop("id")
@@ -231,37 +269,62 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def _word_hash64(w: str) -> int:
-    b = w.encode("utf-8")
-    return zlib.crc32(b) | (zlib.crc32(b + b"\x01") << 32)
+def _word_bits64(w: Column) -> Column:
+    """64 bit flags (each 0/1) for one word: the first 16 hex digits of
+    ``md5(word)``, each digit contributing its 4 bits MSB-first. Pure
+    built-in expressions — and the identical arithmetic is expressible in
+    ANSI SQL (``strpos``/``substr``/``>>``/``&`` over ``md5``), which is
+    what makes the whole SimHash signature DuckDB-oracle checkable."""
+    chars = F.split(F.substring(F.md5(w), 1, 16), "")
+
+    def digit_bits(c: Column) -> Column:
+        d = F.conv(c, 16, 10).cast("int")
+        return F.array(
+            F.shiftright(d, 3).bitwiseAND(F.lit(1)),
+            F.shiftright(d, 2).bitwiseAND(F.lit(1)),
+            F.shiftright(d, 1).bitwiseAND(F.lit(1)),
+            d.bitwiseAND(F.lit(1)),
+        )
+
+    return F.flatten(F.transform(chars, digit_bits))
 
 
-def _simhash_batch_fn():
-    def fn(batches):
-        for pdf in batches:
-            out = []
-            for text in pdf["text"]:
-                words = text.split()
-                acc = np.zeros(64, dtype=np.int64)
-                shifts = np.arange(64, dtype=np.uint64)
-                for w in words:
-                    h = np.uint64(_word_hash64(w))
-                    bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                    acc += np.where(bits == 1, 1, -1)
-                sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-                out.append(sig - (1 << 63))  # store as signed int64
-            yield pd.DataFrame({"id": pdf["id"], "simhash": out})
+def simhash_signatures(
+    docs: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sim_lo, sim_hi): the 64-bit SimHash split into two unsigned
+    32-bit halves (bits 0-31 / 32-63, each stored in a bigint).
 
-    return fn
-
-
-def simhash_signatures(docs: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    schema = T.StructType(
-        [T.StructField("id", T.LongType()), T.StructField("simhash", T.LongType())]
+    Entirely built-in expressions — md5 word hashing, per-bit majority
+    vote, and bit packing all run JVM-side inside whole-stage codegen; no
+    Python worker is involved at any point. The two-halves representation
+    avoids signed-overflow portability traps when packing bit 63.
+    """
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    words = F.split(norm, " ")
+    # counts[b] = number of words whose bit b is set; majority vote is then
+    # "2*counts[b] > n_words" (strict — an exact tie leaves the bit 0).
+    counts = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, w: F.zip_with(acc, _word_bits64(w), lambda a, b: a + b),
+    )
+    n_words = F.size(words)
+    bit_set = F.transform(counts, lambda c: (c * 2 > n_words).cast("long"))
+    pow2 = F.array([F.lit(1 << i).cast("long") for i in range(32)])
+    sig_lo = F.aggregate(
+        F.zip_with(F.slice(bit_set, 1, 32), pow2, lambda b, p: b * p),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    sig_hi = F.aggregate(
+        F.zip_with(F.slice(bit_set, 33, 32), pow2, lambda b, p: b * p),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
     )
     return docs.select(
-        F.col(key_col).alias("id"), F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")).alias("text")
-    ).mapInPandas(_simhash_batch_fn(), schema)
+        F.col(key_col).alias("id"), sig_lo.alias("sim_lo"), sig_hi.alias("sim_hi")
+    )
 
 
 def simhash_pairs(
@@ -270,16 +333,18 @@ def simhash_pairs(
     """Pairs with simhash hamming distance ≤ max_hamming.
 
     Blocking: 8 bands of 8 bits — any pair within hamming 6 agrees on ≥2
-    bands (pigeonhole), so band-equality candidates have recall 1. The
-    hamming check itself is ``bit_count(a XOR b)`` — JVM built-in.
+    bands (pigeonhole), so band-equality candidates have recall 1 and the
+    plan is never all-pairs. The hamming check is ``bit_count(a XOR b)``
+    over the two 32-bit halves — JVM built-ins throughout.
     """
     sigs = simhash_signatures(docs, key_col, text_col)
+    # bands 0-3 slice sim_lo, bands 4-7 slice sim_hi (8 bits each)
     band = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftright(F.col("simhash"), i * 8)
+                    F.shiftright(F.col("sim_lo" if i < 4 else "sim_hi"), (i % 4) * 8)
                     .bitwiseAND(F.lit(255))
                     .alias("bucket"),
                 )
@@ -287,8 +352,8 @@ def simhash_pairs(
             ]
         )
     )
-    buckets = sigs.select("id", "simhash", band.alias("bb")).select(
-        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    buckets = sigs.select("id", "sim_lo", "sim_hi", band.alias("bb")).select(
+        "id", "sim_lo", "sim_hi", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     cand = (
         buckets.alias("x")
@@ -297,12 +362,16 @@ def simhash_pairs(
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            F.col("x.simhash").alias("sh_a"),
-            F.col("y.simhash").alias("sh_b"),
+            F.col("x.sim_lo").alias("lo_a"),
+            F.col("x.sim_hi").alias("hi_a"),
+            F.col("y.sim_lo").alias("lo_b"),
+            F.col("y.sim_hi").alias("hi_b"),
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
     return cand.select("id_a", "id_b", ham.cast("int").alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )

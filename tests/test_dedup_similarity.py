@@ -1,0 +1,125 @@
+"""Targeted tests for the dedup / similarity operators beyond the driver
+parity gate: ANN recall, banding exactness, cache hygiene, and the
+short-document shingle CASE both engines must agree on."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from mistral_ocr_spark.operators import dedup as D
+from mistral_ocr_spark.operators import similarity as S
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def test_multiprobe_ann_fills_k_and_recall(spark):
+    """Hamming-ordered multi-probe (signature prescreen + exact rerank)
+    returns the full k and ≥0.9 recall@10 vs the exact brute-force ranking,
+    averaged over several query points — on the WORST case for ANN, a
+    near-uniform random corpus (top-10 cosines ≈ 0.3)."""
+    emb = _emb(spark, SF01)
+    recalls = []
+    for qid in (0, 7, 42, 111, 303):
+        exact = {r.vec_id for r in S.brute_force_topk(emb, qid, k=10).collect()}
+        approx_rows = S.signature_rerank_topk(emb, qid, k=10).collect()
+        assert len(approx_rows) == 10, f"qid={qid}: ANN returned {len(approx_rows)} rows"
+        recalls.append(len(exact & {r.vec_id for r in approx_rows}) / 10)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.9, f"recall@10 {recalls} (avg {avg}) below 0.9"
+
+
+def test_bucketed_multiprobe_finds_planted_twin(spark):
+    """The bucketed multi-probe variant (the clustered-corpus scale path):
+    a planted exact-direction twin (cosine 1 → identical sign signature)
+    must surface in the top-k even at n_flip=0, and multi-probing can only
+    widen the candidate set."""
+    emb = _emb(spark, SF001).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    twin = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("emb", lambda x: x * 2).alias("emb"),
+    )
+    aug = emb.unionAll(twin)
+    for n_flip in (0, 2):
+        rows = S.lsh_topk(aug, query_id=0, k=10, n_flip=n_flip, vec_col="emb").collect()
+        assert rows, f"n_flip={n_flip}: no candidates"
+        assert rows[0].vec_id == 100000 and abs(rows[0].cos_sim - 1.0) < 1e-6
+    single = {r.vec_id for r in S.lsh_topk(aug, 0, k=50, n_flip=0, vec_col="emb").collect()}
+    multi = {r.vec_id for r in S.lsh_topk(aug, 0, k=50, n_flip=2, vec_col="emb").collect()}
+    assert len(single) <= len(multi)
+
+
+def test_minhash_lsh_leaves_no_cached_rdds(spark):
+    """minhash_lsh_pairs must not leave cache blocks behind (VERDICT r1 #6):
+    signatures go through a scratch parquet table, never executor cache."""
+    docs = D.augmented_docs(spark.read.parquet(f"{SF001}/documents.parquet"))
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.6)
+    pairs.count()  # materialize
+    cached = spark.sparkContext._jsc.getPersistentRDDs()
+    assert cached.size() == 0, f"{cached.size()} persistent RDDs left behind"
+
+
+def test_simhash_banding_is_exact_vs_all_pairs(spark):
+    """The 8x8-bit band blocking must return exactly the all-pairs answer at
+    hamming ≤ 6 (pigeonhole recall 1) — verified by brute force."""
+    docs = D.augmented_docs(spark.read.parquet(f"{SF001}/documents.parquet"))
+    blocked = {
+        (r.id_a, r.id_b, r.hamming) for r in D.simhash_pairs(docs, max_hamming=6).collect()
+    }
+    sigs = D.simhash_signatures(docs)
+    a = sigs.select(
+        F.col("id").alias("id_a"), F.col("sim_lo").alias("lo_a"), F.col("sim_hi").alias("hi_a")
+    )
+    b = sigs.select(
+        F.col("id").alias("id_b"), F.col("sim_lo").alias("lo_b"), F.col("sim_hi").alias("hi_b")
+    )
+    ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    assert blocked == brute and len(brute) > 0
+
+
+@pytest.mark.parametrize(
+    "text",
+    ["", "one", "two words", "now three words", "a b c d e", "  padded   runs\t\there "],
+)
+def test_shingles_match_duckdb_on_short_docs(spark, text):
+    """The <3-word shingle CASE must agree byte-for-byte across engines
+    (ADVICE r1: concat_ws NULL-skipping vs SQL || NULL-propagation)."""
+    from mistral_ocr_spark.plans.queries import _SHINGLE_SQL
+
+    sdf = D.with_shingles(spark.createDataFrame([(1, text)], ["doc_id", "text"]))
+    spark_sh = sorted(sdf.select("shingles").collect()[0].shingles)
+    con = duckdb.connect()
+    duck_sh = sorted(
+        con.execute(
+            f"SELECT {_SHINGLE_SQL} AS s FROM (SELECT ? AS text)", [text]
+        ).fetchone()[0]
+    )
+    con.close()
+    assert spark_sh == duck_sh
+
+
+def test_minhash_prefilter_margin_is_hoeffding_sized():
+    m = D.hoeffding_margin(64, miss_prob=1e-6)
+    assert 0.3 < m < 0.35
+    # with the margin, a threshold-sitting pair survives w.p. ≥ 1 - 1e-6
+    import math
+
+    assert math.exp(-2 * 64 * m * m) <= 1e-6 + 1e-12
