@@ -64,7 +64,9 @@ def _extract_job(spark, pages_path: str, out_path: str, parallelism: int) -> flo
     return time.time() - t0
 
 
-def _time_extract_at(master_cores: int, pages_path: str, reps: int = 3) -> list[float]:
+def _time_extract_at(
+    master_cores: int, pages_path: str, reps: int = 3, sink_dir: str | None = None
+) -> list[float]:
     """Timed extraction-stage runs (read → salted repartition → mapInArrow
     extract → noop sink) inside ONE warmed local[cores] session.
 
@@ -99,22 +101,28 @@ def _time_extract_at(master_cores: int, pages_path: str, reps: int = 3) -> list[
             ext = extract_pages(
                 salted_repartition(spark.read.parquet(pages_path), master_cores * 2)
             )
-            ext.write.mode("overwrite").format("noop").save()
+            if sink_dir:
+                ext.write.mode("overwrite").parquet(sink_dir)
+            else:
+                ext.write.mode("overwrite").format("noop").save()
             times.append(_time.time() - t0)
         return times
     finally:
         spark.stop()
 
 
-def _run_scaling(cores_n: int, pages_path: str, n_docs: int, reps: int = 3) -> dict:
-    times_n = _time_extract_at(cores_n, pages_path, reps)
-    times_4n = _time_extract_at(cores_n * 4, pages_path, reps)
+def _run_scaling(
+    cores_n: int, pages_path: str, n_docs: int, reps: int = 3, sink_dir: str | None = None
+) -> dict:
+    times_n = _time_extract_at(cores_n, pages_path, reps, sink_dir=sink_dir)
+    times_4n = _time_extract_at(cores_n * 4, pages_path, reps, sink_dir=sink_dir)
     thr_n = n_docs / min(times_n)
     thr_4n = n_docs / min(times_4n)
     return {
         "cores_n": cores_n,
         "cores_4n": cores_n * 4,
         "n_docs": n_docs,
+        "sink": "parquet" if sink_dir else "noop",
         "times_n_sec": [round(t, 2) for t in times_n],
         "times_4n_sec": [round(t, 2) for t in times_4n],
         "docs_per_sec_n": round(thr_n, 1),
@@ -198,6 +206,17 @@ def main() -> None:
             _materialize_pages(spark, N_PAGES * 12, scale_pages)
             spark.stop()
             result["scaling"] = _run_scaling(n_small, scale_pages, N_PAGES * 12, reps=2)
+            # One parquet-sink sample alongside the noop protocol: shows the
+            # single box's shared-disk contribution explicitly instead of
+            # arguing it away (a real cluster's sink bandwidth scales with
+            # nodes; this one's does not — see BENCH.md).
+            result["scaling_parquet_sink"] = _run_scaling(
+                n_small,
+                scale_pages,
+                N_PAGES * 12,
+                reps=2,
+                sink_dir=f"{tmp}/scaling-sink",
+            )
 
         result["value"] = round(sum(result["queries"].values()), 3)
     finally:

@@ -136,11 +136,35 @@ def cmd_export(args) -> int:
 
 
 def cmd_files(args) -> int:
+    """Manifest summary + the input-file registry (the reference `files`
+    verb covers both sides: simple_client.py:82-96 input registry and the
+    output store). ``--refresh PATH`` upserts registry rows for PATH first."""
+    if getattr(args, "refresh", None):
+        spark = get_spark(app_name="ocr-files")
+        catalog.register_input_files(spark, args.table, args.refresh, table="pages")
     m = catalog.load_manifest(args.table)
-    print(json.dumps({"snapshot_id": m["snapshot_id"],
-                      "n_data_files": len(m["data_files"]),
-                      "n_lineage_files": len(m["lineage_files"]),
-                      "committed_chunks": m["committed_chunks"]}, indent=1))
+    out = {
+        "snapshot_id": m["snapshot_id"],
+        "schema_version": m.get("schema_version", 1),
+        "n_data_files": len(m["data_files"]),
+        "n_lineage_files": len(m["lineage_files"]),
+        "committed_chunks": m["committed_chunks"],
+    }
+    if m.get("input_file_files"):
+        spark = get_spark(app_name="ocr-files")
+        reg = catalog.read_input_files(spark, args.table)
+        from pyspark.sql import functions as F
+
+        agg = reg.groupBy("table").agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("byte_size").alias("bytes"),
+        ).collect()
+        out["input_registry"] = {
+            r.table: {"n_files": r.n_files, "n_rows": r.n_rows, "bytes": r.bytes}
+            for r in agg
+        }
+    print(json.dumps(out, indent=1))
     return 0
 
 
@@ -177,8 +201,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--table", required=True)
     s.set_defaults(func=cmd_list)
 
-    s = sub.add_parser("files", help="manifest summary")
+    s = sub.add_parser("files", help="manifest summary + input-file registry")
     s.add_argument("--table", required=True)
+    s.add_argument("--refresh", help="input dir to (re)register in the registry")
     s.set_defaults(func=cmd_files)
 
     s = sub.add_parser("cancel", help="cooperatively cancel a run at the next chunk boundary")

@@ -55,6 +55,22 @@ def classify(blocks: list[Block]) -> list[Block]:
             next_b.words if next_b else 0,
         )
 
+    # Terminal demotion (Boilerpipe's terminating-blocks heuristic): short
+    # trailing plain blocks that end the document ("thanks for reading",
+    # share prompts, sign-offs) are boilerplate even when a wordy block
+    # precedes them — the prev_w>4 branch of the density rule would
+    # otherwise accept any short tail after a long paragraph. Blocks inside
+    # <article>/<main> and headings are exempt; the walk stops at the first
+    # solid content block.
+    for i in range(n - 1, -1, -1):
+        b = blocks[i]
+        if not b.is_content:
+            continue
+        if b.words < 8 and b.kind != "heading" and not b.in_article:
+            b.is_content = False
+            continue
+        break
+
     # Heading promotion (one backward pass so chains of headings work).
     for i in range(n - 2, -1, -1):
         b = blocks[i]

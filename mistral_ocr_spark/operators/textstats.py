@@ -13,13 +13,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Language marker words (surrounded by spaces when counted). A tiny n-gram
-# heuristic: enough to demonstrate the distributed shape; swap the marker
-# table for a real profile set at production scale.
+# Language marker words (surrounded by spaces when counted): the highest-
+# frequency function words per language — the standard closed-class-word
+# profile trick (function words are near-universal in running text and
+# highly language-specific). 12 languages; swap/extend the table for a
+# full profile set at production scale — the operator and its oracle both
+# derive from this dict, so extending it is data, not code.
 LANG_MARKERS = {
     "en": [" the ", " and ", " of "],
     "de": [" der ", " und ", " die "],
     "fr": [" le ", " et ", " la "],
+    "es": [" el ", " que ", " los "],
+    "pt": [" uma ", " não ", " os "],
+    "it": [" il ", " di ", " che "],
+    "nl": [" het ", " een ", " van "],
+    "sv": [" och ", " att ", " det "],
+    "da": [" og ", " jeg ", " ikke "],
+    "pl": [" nie ", " się ", " jest "],
+    "tr": [" bir ", " ve ", " bu "],
+    "id": [" yang ", " dan ", " untuk "],
 }
 
 STOPWORDS = [" the ", " a ", " of ", " and ", " to "]

@@ -161,7 +161,14 @@ def run(
         lineage.coalesce(1).write.mode("overwrite").parquet(lin_path)
         lin_files = catalog.list_parquet_files(lin_path)
 
-        catalog.commit_chunk(out_root, run_id, chunk, data_files, lin_files)
+        catalog.commit_chunk(
+            out_root,
+            run_id,
+            chunk,
+            data_files,
+            lin_files,
+            schema_json=extracted.schema.jsonValue(),
+        )
         stats["chunks_done"] += 1
 
     stats["seconds"] = time.time() - t0

@@ -957,6 +957,36 @@ def multimodal_features(spark, sf_dir):
     return M.extract_features(media)
 
 
+@_q(
+    # The input-file registry's scan shape (reference `files` table refresh,
+    # simple_client.py:82-96): per-file row counts via a distributed
+    # input_file_name() aggregation. The stateful registry itself
+    # (register_input_files / read_input_files upsert) is covered by
+    # tests/test_catalog.py::test_input_registry_refresh_upsert; the driver
+    # tables are single parquet files, so n_files is exactly 1 per table and
+    # the oracle can assert both the file fan-out and the row counts.
+    "files_registry",
+    "SELECT 'documents' AS table_name, CAST(1 AS BIGINT) AS n_files, "
+    "CAST(count(*) AS BIGINT) AS n_rows FROM documents "
+    "UNION ALL SELECT 'embeddings', CAST(1 AS BIGINT), CAST(count(*) AS BIGINT) FROM embeddings "
+    "UNION ALL SELECT 'orders', CAST(1 AS BIGINT), CAST(count(*) AS BIGINT) FROM orders",
+)
+def files_registry(spark, sf_dir):
+    from functools import reduce
+
+    parts = [
+        _t(spark, sf_dir, t)
+        .select(F.input_file_name().alias("f"))
+        .groupBy(F.lit(t).alias("table_name"))
+        .agg(
+            F.countDistinct("f").cast("bigint").alias("n_files"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        for t in ("documents", "embeddings", "orders")
+    ]
+    return reduce(DataFrame.unionAll, parts)
+
+
 # ===========================================================================
 # Engine-internal tables (lineage/status) — rows-only smoke
 # ===========================================================================

@@ -1,0 +1,165 @@
+"""Catalog-layer tests: commit-conflict arbitration, monotonic upsert
+ordering (run-99 vs run-100), additive schema evolution, seq-preserving
+compaction, and the input-file registry's refresh-upsert semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mistral_ocr_spark import pipeline
+from mistral_ocr_spark.sources import catalog
+from mistral_ocr_spark.sources.fixtures import generate_pages
+
+
+@pytest.fixture()
+def table_root():
+    root = tempfile.mkdtemp(prefix="ocr_cat_")
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_commit_conflict_rebases_not_discards(table_root):
+    """Two committers basing on the same parent snapshot: the loser must
+    rebase onto the winner, so BOTH commits land (ADVICE r1: the old
+    load-modify-write silently dropped the first)."""
+    # Simulate the race: pre-create the manifest the second committer would
+    # want (as if a concurrent writer won snapshot 1 mid-commit).
+    m1 = catalog.commit_chunk(table_root, "run-a", 0, ["/d/a.parquet"], ["/l/a.parquet"])
+    assert m1["snapshot_id"] == 1
+    # A conflicting manifest-2 appears between load and write:
+    blocker = {**catalog._latest_manifest(table_root)}
+    blocker["snapshot_id"] = 2
+    blocker["parent"] = 1
+    blocker["committed_chunks"] = {**blocker["committed_chunks"], "run-x": [9]}
+    catalog._write_exclusive(
+        catalog._manifest_path(table_root, "manifest-000000000002.json"),
+        json.dumps(blocker),
+    )
+    m3 = catalog.commit_chunk(table_root, "run-b", 0, ["/d/b.parquet"], ["/l/b.parquet"])
+    # run-b's commit rebased to snapshot 3 and preserved run-x's chunk 9
+    assert m3["snapshot_id"] == 3
+    assert m3["committed_chunks"] == {"run-a": [0], "run-x": [9], "run-b": [0]}
+    assert set(m3["data_files"]) == {"/d/a.parquet", "/d/b.parquet"}
+
+
+def test_current_pointer_only_advances(table_root):
+    catalog.commit_chunk(table_root, "r", 0, [], [])
+    catalog.commit_chunk(table_root, "r", 1, [], [])
+    # a straggler trying to re-point at snapshot 1 must be a no-op
+    catalog._advance_current(table_root, "manifest-000000000001.json", 1)
+    assert catalog.load_manifest(table_root)["snapshot_id"] == 2
+
+
+def test_latest_wins_by_commit_seq_not_lexicographic(spark, table_root):
+    """run-99 committed BEFORE run-100: lexicographic run_id ordering would
+    resurrect run-99's rows; commit-sequence ordering must pick run-100."""
+    pages = generate_pages(spark, 300, partitions=2)
+    pipeline.run(spark, pages, table_root, run_id="run-99", n_chunks=1, num_partitions=2)
+    pipeline.run(spark, pages, table_root, run_id="run-100", n_chunks=1, num_partitions=2)
+    latest = catalog.read_extracted_latest(spark, table_root)
+    assert latest.count() == 300
+    runs = {r.run_id for r in latest.select("run_id").distinct().collect()}
+    assert runs == {"run-100"}
+
+
+def test_schema_evolution_additive(spark, table_root):
+    """v1 chunks, then a chunk written by a 'newer extractor' with an extra
+    column: read_extracted returns the union schema with NULL backfill on
+    the old rows (reference _migrate_schema analog)."""
+    from mistral_ocr_spark.operators.extract import extract_pages
+    from mistral_ocr_spark.pipeline import salted_repartition
+
+    pages = generate_pages(spark, 400, partitions=2)
+    pipeline.run(spark, pages, table_root, run_id="run-0001", n_chunks=1, num_partitions=2)
+    assert catalog.load_manifest(table_root)["schema_version"] == 1
+
+    # "v2 extractor": same pipeline shape plus a quality column
+    ext2 = (
+        extract_pages(salted_repartition(generate_pages(spark, 100, partitions=1), 2))
+        .withColumn("run_id", F.lit("run-0002"))
+        .withColumn(
+            "quality", F.coalesce(F.length("text"), F.lit(0)).cast("double") / 1000.0
+        )
+    )
+    data_path = os.path.join(table_root, "data", "run=run-0002", "chunk=0")
+    ext2.write.mode("overwrite").parquet(data_path)
+    files = catalog.list_parquet_files(data_path)
+    m = catalog.commit_chunk(
+        table_root, "run-0002", 0, files, [], schema_json=ext2.schema.jsonValue()
+    )
+    assert m["schema_version"] == 2
+
+    out = catalog.read_extracted(spark, table_root)
+    assert "quality" in out.columns
+    old = out.filter(F.col("run_id") == "run-0001")
+    assert old.filter(F.col("quality").isNull()).count() == old.count() == 400
+    new = out.filter(F.col("run_id") == "run-0002")
+    assert new.filter(F.col("quality").isNotNull()).count() == new.count() > 0
+    # latest-wins read works over the evolved schema too: run-0002's 100
+    # urls are a subset of run-0001's 400, and the later commit wins
+    latest = catalog.read_extracted_latest(spark, table_root)
+    assert latest.count() == 400
+    assert latest.filter(F.col("run_id") == "run-0002").count() == 100
+
+    # non-additive change is rejected
+    with pytest.raises(ValueError, match="non-additive"):
+        bad = ext2.withColumn("quality", F.lit("oops")).schema.jsonValue()
+        catalog.commit_chunk(table_root, "run-0003", 0, [], [], schema_json=bad)
+
+
+def test_compaction_preserves_latest_wins(spark, table_root):
+    """Compaction rewrites files per commit-sequence group, so upsert
+    resolution is identical before and after."""
+    pages = generate_pages(spark, 600, partitions=2)
+    pipeline.run(spark, pages, table_root, run_id="run-0001", n_chunks=1, num_partitions=4)
+    subset = pages.filter(F.pmod(F.xxhash64("url"), F.lit(5)) == 0)
+    pipeline.run(spark, subset, table_root, run_id="run-0002", n_chunks=1, num_partitions=4)
+
+    before = {
+        (r.url, r.run_id)
+        for r in catalog.read_extracted_latest(spark, table_root)
+        .select("url", "run_id")
+        .collect()
+    }
+    catalog.compact(spark, table_root, target_rows_per_file=10_000)
+    after = {
+        (r.url, r.run_id)
+        for r in catalog.read_extracted_latest(spark, table_root)
+        .select("url", "run_id")
+        .collect()
+    }
+    assert before == after
+    # every compacted file carries a sequence number
+    m = catalog.load_manifest(table_root)
+    assert set(m["data_files"]) <= set(m["file_seq"])
+
+
+def test_input_registry_refresh_upsert(spark, table_root):
+    """Registering the same input twice upserts: one row per file (latest
+    refresh wins), with real byte sizes and row counts."""
+    src = os.path.join(table_root, "incoming")
+    generate_pages(spark, 500, partitions=3).write.mode("overwrite").parquet(src)
+
+    catalog.register_input_files(spark, table_root, src, table="pages")
+    first = catalog.read_input_files(spark, table_root).collect()
+    n_files = len(first)
+    assert n_files >= 3
+    assert sum(r.n_rows for r in first) == 500
+    assert all(r.byte_size and r.byte_size > 0 for r in first)
+    assert all(r.file_path.endswith(".parquet") for r in first)
+
+    m2 = catalog.register_input_files(spark, table_root, src, table="pages")
+    latest = catalog.read_input_files(spark, table_root)
+    assert latest.count() == n_files  # upserted, not duplicated
+    raw = catalog.read_input_files(spark, table_root, latest_only=False)
+    assert raw.count() == 2 * n_files  # both refreshes retained on disk
+    # all surviving rows come from the second refresh
+    seqs = {r.refreshed_at for r in latest.collect()}
+    assert len(seqs) == 1
+    assert len(m2["input_file_files"]) == 2

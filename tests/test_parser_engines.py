@@ -43,7 +43,33 @@ def test_engines_agree_on_corpus():
         "<div><p>unclosed everywhere",
         "<style>p:before{content:'<fake>'}</style><p>styled</p>",
         "&amp; &lt;tag&gt; &#65; &#x42; stand-alone & ampersand",
+        # round 2: nested templates / deeper malformation / entity storms
+        "<div><div><div><p>deeply <b>nested</b> content</p></div></div></div>",
+        "<table><tr><td><p>cell para</p></td><td><ul><li>item</li></ul></td></tr></table>",
+        "<p>one</p><p>two<p>three</p>",  # implicit-close chain
+        "</p></div></article><p>starts with stray closers</p>",
+        '<a href=/unquoted class=x>unquoted attrs</a><p>after</p>',
+        "<p>&amp;&amp;&amp; &lt;&lt;&gt;&gt; &#8212;&#x2014; entity storm &quot;quoted&quot;</p>",
+        "<p>emoji \U0001f600 and combining é accents</p>",
+        "<P CLASS='X'><SPAN>upper attrs</SPAN> tail</P>",
+        "<template><p>template content</p></template><p>real content</p>",
+        "<noscript><p>noscript body</p></noscript><p>visible</p>",
+        "<p>a<br>b<br/>c</p><hr><p>after rule</p>",
+        "<article><header><h1>inner chrome in article</h1></header><p>body</p></article>",
+        "<div title='<p>tag soup in attr</p>'>attr soup</div><p>next</p>",
+        "<p>trailing unterminated entity &am",
     ],
 )
 def test_engines_agree_on_adversarial(snippet):
     assert _sig(parse_blocks(snippet, "fast")) == _sig(parse_blocks(snippet, "stdlib"))
+
+
+def test_engines_agree_on_hard_quality_corpus():
+    """The round-2 hard fixture (long link-dense boilerplate, short leads)
+    must also tokenize identically under both engines."""
+    from test_quality_eval import _hard_page
+
+    for i in range(500):
+        html, _c, _b = _hard_page(i)
+        txt, _enc = decode_html(html)
+        assert _sig(parse_blocks(txt, "fast")) == _sig(parse_blocks(txt, "stdlib")), i

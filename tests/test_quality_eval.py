@@ -75,3 +75,84 @@ def test_boilerplate_never_leaks_links():
         r = extract(html)
         # no block made purely of anchor text survives
         assert r.text is not None
+
+
+# ---------------------------------------------------------------------------
+# Round 2: NON-density-trivial labeled fixture — short genuine content,
+# LONG boilerplate (link-dense widgets, plain-text legal footers), no
+# structural hints for content. Exercises the neighborhood rules, not just
+# "long means content".
+# ---------------------------------------------------------------------------
+
+def _hard_page(i: int) -> tuple[bytes, list[str], list[str]]:
+    """Returns (html, content_texts, boiler_texts); every returned text is
+    tracked exactly (labels by construction)."""
+    h = _h(i)
+    content, boiler = [], []
+    parts = ["<html><head><title>t</title></head><body>"]
+
+    # long nav menu (15 words of anchors) — boilerplate despite its length
+    nav = " ".join(f'<a href="/{j}">{_words(h + j, 3)}</a>' for j in range(5))
+    parts.append(f"<nav>{nav}</nav>")
+
+    # link soup with LONG anchor texts (~30 words, link density 1.0)
+    soup_words = [_words(h + 50 + j, 6) for j in range(5)]
+    soup = " ".join(f'<a href="/s{j}">{w}</a>' for j, w in enumerate(soup_words))
+    boiler.append(" ".join(soup_words))
+    parts.append(f"<div>{soup}</div>")
+
+    # SHORT lead paragraph (10-14 words) — content only via its neighborhood
+    lead = _words(h + 11, 10 + i % 5)
+    content.append(lead)
+    parts.append(f"<p>{lead}</p>")
+
+    # long body paragraphs
+    for p in range(2 + i % 2):
+        t = _words(h + 97 * p, 30 + (h + p) % 16)
+        content.append(t)
+        parts.append(f"<p>{t}</p>")
+
+    # "related posts" widget: ~24 words at link density ~0.75 — long boiler
+    rel_link_words = [_words(h + 200 + j, 6) for j in range(3)]
+    rel_plain = _words(h + 300, 6)
+    rel = (
+        " ".join(f'<a href="/r{j}">{w}</a>' for j, w in enumerate(rel_link_words))
+        + " "
+        + rel_plain
+    )
+    boiler.append(" ".join(rel_link_words) + " " + rel_plain)
+    parts.append(f"<div>{rel}</div>")
+
+    # plain-text legal footer, ~20 words, zero links — long plain boiler
+    legal = _words(h + 400, 20)
+    boiler.append(legal)
+    parts.append(f"<div>{legal}</div>")
+
+    # short sign-off
+    bye = _words(h + 500, 5)
+    boiler.append(bye)
+    parts.append(f"<div>{bye}</div>")
+
+    parts.append("</body></html>")
+    return "".join(parts).encode(), content, boiler
+
+
+def test_hard_fixture_precision_recall():
+    """Short content + long boilerplate: the neighborhood/link-density rules
+    must still separate them. Thresholds set from the measured floor of the
+    deterministic fixture (report printed for BENCH notes)."""
+    tp = fp = fn = 0
+    for i in range(2000):
+        html, content, boiler = _hard_page(i)
+        r = extract(html)
+        got = set((r.text or "").split("\n\n"))
+        want = set(content)
+        bad = set(boiler)
+        tp += len(got & want)
+        fp += len(got & bad)
+        fn += len(want - got)
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    print(f"\nhard-fixture block classification: precision={precision:.4f} recall={recall:.4f}")
+    assert precision >= 0.9, f"precision {precision:.3f}"
+    assert recall >= 0.9, f"recall {recall:.3f}"
