@@ -71,18 +71,50 @@ def with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     NULL-propagation never comes into play; the two engines agree on every
     input length).
     """
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.greatest(F.size(w) - 2, F.lit(1))
-    tri = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(
+
+    def make(w, i):
+        if i is None:
+            return F.array_join(w, " ")
+        return F.concat_ws(
             " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
-        ),
-    )
-    shingles = F.when(F.size(w) < 3, F.array(F.array_join(w, " "))).otherwise(
+        )
+
+    return _with_word_ngrams(docs, text_col, make, "shingles")
+
+
+def _with_word_ngrams(docs: DataFrame, text_col: str, make, out_col: str) -> DataFrame:
+    """Shared 3-gram scaffolding with the words array MATERIALIZED as a real
+    column first: referencing the split() expression inside the transform
+    lambda re-evaluates the regex split per element_at (no common-
+    subexpression elimination in interpreted higher-order functions —
+    measured 9 s → 1.3 s on the sf0.1 fixture when materialized)."""
+    w = F.col("_words")
+    n = F.greatest(F.size(w) - 2, F.lit(1))
+    tri = F.transform(F.sequence(F.lit(1), n), lambda i: make(w, i))
+    shingles = F.when(F.size(w) < 3, F.array(make(w, None))).otherwise(
         F.array_distinct(tri)
     )
-    return docs.withColumn("shingles", shingles)
+    return (
+        docs.withColumn("_words", F.split(F.trim(F.col(text_col)), r"\s+"))
+        .withColumn(out_col, shingles)
+        .drop("_words")
+    )
+
+
+def with_shingle_hashes(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct word-3-gram shingle HASHES per doc: one ``xxhash64(w_i,
+    w_{i+1}, w_{i+2})`` per shingle — no shingle string is ever
+    materialized. Set sizes and intersections equal the string-shingle
+    sets up to a ~n²/2^64 collision probability, so Jaccard counts are
+    interchangeable; the <3-word CASE mirrors ``with_shingles`` (one
+    whole-text shingle)."""
+
+    def make(w, i):
+        if i is None:
+            return F.xxhash64(F.array_join(w, " "))
+        return F.xxhash64(F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2))
+
+    return _with_word_ngrams(docs, text_col, make, "shingles")
 
 
 def jaccard_pairs_exact(
@@ -96,9 +128,11 @@ def jaccard_pairs_exact(
 
     Plan shape: explode shingles → (optional df-cut) → self-join on shingle
     → count shared per pair → jaccard filter. Only pairs sharing ≥1
-    shingle are ever materialized (never the O(n²) cross product).
+    shingle are ever materialized (never the O(n²) cross product). Joins
+    run on hashed shingles (int64 keys, not 3-word strings) — Jaccard
+    counts are identical up to a negligible collision probability.
     """
-    sh = with_shingles(docs, text_col).select(
+    sh = with_shingle_hashes(docs, text_col).select(
         F.col(key_col).alias("id"), "shingles", F.size("shingles").alias("n_sh")
     )
     ex = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
@@ -148,13 +182,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) via one Arrow-batched pass.
 
-    Shingle *string* hashing runs JVM-side (``xxhash64`` inside a
-    ``transform`` — whole-stage codegen); Python only does the numpy
-    permutation/min reduction over the pre-hashed int64 array.
+    Shingle hashing runs JVM-side (``xxhash64`` over the 3 words directly —
+    no shingle string materialized, see ``with_shingle_hashes``); Python
+    only does the numpy permutation/min reduction over the pre-hashed
+    int64 array.
     """
-    sh = with_shingles(docs, text_col).select(
-        F.col(key_col).alias("id"),
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hash"),
+    sh = with_shingle_hashes(docs, text_col).select(
+        F.col(key_col).alias("id"), F.col("shingles").alias("sh_hash")
     )
     schema = T.StructType(
         [
@@ -200,10 +234,10 @@ def minhash_lsh_pairs(
     ``persist()`` — no executor cache blocks outlive the query.
     """
     rows = num_hashes // bands
+    if scratch_dir is None:
+        scratch_dir = tempfile.mkdtemp(prefix="ocr_minhash_sigs_")
     sigs = minhash_signatures(docs, num_hashes, key_col, text_col)
     if prefilter:
-        if scratch_dir is None:
-            scratch_dir = tempfile.mkdtemp(prefix="ocr_minhash_sigs_")
         sig_path = os.path.join(scratch_dir, "signatures.parquet")
         sigs.write.mode("overwrite").parquet(sig_path)
         sigs = docs.sparkSession.read.parquet(sig_path)
@@ -245,10 +279,18 @@ def minhash_lsh_pairs(
             .filter(est >= threshold - est_margin)
             .select("id_a", "id_b")
         )
-    # Shingles are pure JVM array expressions over the docs scan — cheap to
-    # recompute on each join side; no persist() (zero cache blocks left
-    # behind in a long-lived session).
-    sh = with_shingles(docs, text_col).select(F.col(key_col).alias("id"), "shingles")
+    # Exact verification runs on HASHED shingles (int64 arrays instead of
+    # ~20-byte strings): identical set sizes and intersections up to a
+    # ~n²/2^64 collision probability, at a fraction of the verify join's
+    # shuffle volume. The hashed-shingle table is materialized once to
+    # scratch parquet (both join sides read it; no persist() — zero cache
+    # blocks left behind in a long-lived session).
+    sh = with_shingle_hashes(docs, text_col).select(
+        F.col(key_col).alias("id"), "shingles"
+    )
+    sh_path = os.path.join(scratch_dir, "shingle_hashes.parquet")
+    sh.write.mode("overwrite").parquet(sh_path)
+    sh = docs.sparkSession.read.parquet(sh_path)
     verified = (
         cand.join(sh.withColumnRenamed("shingles", "sh_a"), cand.id_a == sh.id)
         .drop("id")
@@ -269,111 +311,135 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def _word_bits64(w: Column) -> Column:
-    """64 bit flags (each 0/1) for one word: the first 16 hex digits of
-    ``md5(word)``, each digit contributing its 4 bits MSB-first. Pure
-    built-in expressions — and the identical arithmetic is expressible in
-    ANSI SQL (``strpos``/``substr``/``>>``/``&`` over ``md5``), which is
-    what makes the whole SimHash signature DuckDB-oracle checkable."""
-    chars = F.split(F.substring(F.md5(w), 1, 16), "")
+def _simhash_batch_fn():
+    """numpy bit-majority over JVM-prehashed words: per doc, count set bits
+    per position across all word hashes (one vectorized matrix op), take
+    the strict majority, pack into two 32-bit halves. No per-word Python."""
+    shifts = np.arange(32, dtype=np.int64)
+    pow2 = 1 << np.arange(32, dtype=np.int64)
 
-    def digit_bits(c: Column) -> Column:
-        d = F.conv(c, 16, 10).cast("int")
-        return F.array(
-            F.shiftright(d, 3).bitwiseAND(F.lit(1)),
-            F.shiftright(d, 2).bitwiseAND(F.lit(1)),
-            F.shiftright(d, 1).bitwiseAND(F.lit(1)),
-            d.bitwiseAND(F.lit(1)),
-        )
+    def fn(batches):
+        for pdf in batches:
+            los, his = [], []
+            for a, b in zip(pdf["wlo"], pdf["whi"]):
+                lo = np.asarray(a, dtype=np.int64)
+                hi = np.asarray(b, dtype=np.int64)
+                n = len(lo)
+                cl = ((lo[:, None] >> shifts) & 1).sum(axis=0)
+                ch = ((hi[:, None] >> shifts) & 1).sum(axis=0)
+                los.append(int(((cl * 2 > n) * pow2).sum()))
+                his.append(int(((ch * 2 > n) * pow2).sum()))
+            yield pd.DataFrame({"id": pdf["id"], "sim_lo": los, "sim_hi": his})
 
-    return F.flatten(F.transform(chars, digit_bits))
+    return fn
 
 
 def simhash_signatures(
     docs: DataFrame, key_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, sim_lo, sim_hi): the 64-bit SimHash split into two unsigned
-    32-bit halves (bits 0-31 / 32-63, each stored in a bigint).
+    32-bit halves (bits 0-31 from the first 8 hex digits of md5(word),
+    bits 32-63 from the next 8; each half stored in a bigint).
 
-    Entirely built-in expressions — md5 word hashing, per-bit majority
-    vote, and bit packing all run JVM-side inside whole-stage codegen; no
-    Python worker is involved at any point. The two-halves representation
-    avoids signed-overflow portability traps when packing bit 63.
+    Word *hashing* runs JVM-side (``md5``/``substring``/``conv`` inside a
+    ``transform`` — same pattern as the MinHash kernel); Python only does
+    the numpy bit-majority reduction over the pre-hashed int arrays, one
+    vectorized matrix op per doc, never a per-word loop. md5 (not
+    xxhash64) keeps the identical arithmetic expressible in ANSI SQL, so
+    the whole signature is DuckDB-oracle checkable (queries._SIMHASH_ORACLE).
+    A fully-expression version (no Python at all) was 20× slower: 64-wide
+    higher-order array expressions are interpreted, not codegen'd.
     """
     norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     words = F.split(norm, " ")
-    # counts[b] = number of words whose bit b is set; majority vote is then
-    # "2*counts[b] > n_words" (strict — an exact tie leaves the bit 0).
-    counts = F.aggregate(
-        words,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, w: F.zip_with(acc, _word_bits64(w), lambda a, b: a + b),
+    wlo = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
     )
-    n_words = F.size(words)
-    bit_set = F.transform(counts, lambda c: (c * 2 > n_words).cast("long"))
-    pow2 = F.array([F.lit(1 << i).cast("long") for i in range(32)])
-    sig_lo = F.aggregate(
-        F.zip_with(F.slice(bit_set, 1, 32), pow2, lambda b, p: b * p),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
+    whi = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 9, 8), 16, 10).cast("long")
     )
-    sig_hi = F.aggregate(
-        F.zip_with(F.slice(bit_set, 33, 32), pow2, lambda b, p: b * p),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
+    pre = docs.select(F.col(key_col).alias("id"), wlo.alias("wlo"), whi.alias("whi"))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("sim_lo", T.LongType()),
+            T.StructField("sim_hi", T.LongType()),
+        ]
     )
-    return docs.select(
-        F.col(key_col).alias("id"), sig_lo.alias("sim_lo"), sig_hi.alias("sim_hi")
-    )
+    return pre.mapInPandas(_simhash_batch_fn(), schema)
 
 
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 6, key_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    max_hamming: int = 6,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Pairs with simhash hamming distance ≤ max_hamming.
 
-    Blocking: 8 bands of 8 bits — any pair within hamming 6 agrees on ≥2
-    bands (pigeonhole), so band-equality candidates have recall 1 and the
-    plan is never all-pairs. The hamming check is ``bit_count(a XOR b)``
-    over the two 32-bit halves — JVM built-ins throughout.
+    Blocking: by pigeonhole, a pair within hamming 6 has ≥2 of the 8 8-bit
+    bands clean — so candidates are keyed on PAIRS of bands (28 composite
+    16-bit keys), still recall 1, with far fewer and far flatter collisions
+    than single bands: on a correlated web corpus single 8-bit bands are
+    low-entropy (worst bucket held 26% of the fixture corpus — a built-in
+    skew-join), while composite keys spread it (measured 20M → 4.8M
+    candidate rows, worst bucket 2667 → 558, at sf0.1). The hamming check
+    is ``bit_count(a XOR b)`` over the two 32-bit halves — JVM built-ins
+    throughout.
+
+    Plan order matters at scale too: the hamming filter is a cheap map-side
+    expression, so it runs on the raw band-join output BEFORE the distinct —
+    deduping only survivors instead of shuffling every collision.
+    Signatures are materialized once to a scratch parquet table (both join
+    sides read it; production: an explicit signatures table).
     """
+    import itertools
+
     sigs = simhash_signatures(docs, key_col, text_col)
-    # bands 0-3 slice sim_lo, bands 4-7 slice sim_hi (8 bits each)
-    band = F.explode(
+    if scratch_dir is None:
+        scratch_dir = tempfile.mkdtemp(prefix="ocr_simhash_sigs_")
+    sig_path = os.path.join(scratch_dir, "signatures.parquet")
+    sigs.write.mode("overwrite").parquet(sig_path)
+    sigs = docs.sparkSession.read.parquet(sig_path)
+
+    def band_bits(i: int):
+        # bands 0-3 slice sim_lo, bands 4-7 slice sim_hi (8 bits each)
+        return F.shiftright(F.col("sim_lo" if i < 4 else "sim_hi"), (i % 4) * 8).bitwiseAND(
+            F.lit(255)
+        )
+
+    composite = F.explode(
         F.array(
             *[
                 F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftright(F.col("sim_lo" if i < 4 else "sim_hi"), (i % 4) * 8)
-                    .bitwiseAND(F.lit(255))
-                    .alias("bucket"),
+                    F.lit(k).alias("band"),
+                    (band_bits(i) * 256 + band_bits(j)).alias("bucket"),
                 )
-                for i in range(8)
+                for k, (i, j) in enumerate(itertools.combinations(range(8), 2))
             ]
         )
     )
-    buckets = sigs.select("id", "sim_lo", "sim_hi", band.alias("bb")).select(
+    buckets = sigs.select("id", "sim_lo", "sim_hi", composite.alias("bb")).select(
         "id", "sim_lo", "sim_hi", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    cand = (
-        buckets.alias("x")
-        .join(buckets.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.sim_lo").alias("lo_a"),
-            F.col("x.sim_hi").alias("hi_a"),
-            F.col("y.sim_lo").alias("lo_b"),
-            F.col("y.sim_hi").alias("hi_b"),
-        )
-        .distinct()
+    x = buckets.select(
+        "band", "bucket", F.col("id").alias("id_a"),
+        F.col("sim_lo").alias("lo_a"), F.col("sim_hi").alias("hi_a"),
+    )
+    y = buckets.select(
+        "band", "bucket", F.col("id").alias("id_b"),
+        F.col("sim_lo").alias("lo_b"), F.col("sim_hi").alias("hi_b"),
     )
     ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
         F.col("hi_a").bitwiseXOR(F.col("hi_b"))
     )
-    return cand.select("id_a", "id_b", ham.cast("int").alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    return (
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

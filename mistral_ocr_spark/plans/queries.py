@@ -808,9 +808,14 @@ w AS (
   FROM aug
 ),
 bits AS (
+  -- bit b of the signature: for b<32, bit b of int(md5[1:8], 16); else bit
+  -- (b-32) of int(md5[9:16], 16) — digit j of an 8-hex-digit int holds bits
+  -- 4*(8-j)..4*(8-j)+3, so b maps to digit 8 - b//4 (offset +8 for the hi
+  -- half) at in-digit shift b%4. Same arithmetic as dedup.simhash_signatures.
   SELECT doc_id, n_words, b.b,
-         ((strpos('0123456789abcdef', substr(md5(word), (b.b // 4) + 1, 1)) - 1)
-          >> (3 - (b.b % 4))) & 1 AS bit
+         ((strpos('0123456789abcdef', substr(md5(word),
+            CASE WHEN b.b < 32 THEN 8 - (b.b // 4) ELSE 16 - ((b.b - 32) // 4) END, 1)) - 1)
+          >> (b.b % 4)) & 1 AS bit
   FROM w, (SELECT unnest(range(0, 64)) AS b) b
 ),
 maj AS (
