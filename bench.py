@@ -111,13 +111,53 @@ def _time_extract_at(
         spark.stop()
 
 
+def _spin(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def _machine_ceiling(cores_n: int, n: int = 30_000_000) -> float:
+    """The VM's own N→4N CPU scaling ceiling, measured with pure-Python spin
+    loops (no Spark, no I/O) in the same time window as the scaling legs.
+
+    This sandbox is a virtualized box whose CPU entitlement varies over
+    time (measured 0.94 one session, 0.75 hours later) — a multi-executor
+    cluster's nodes do not share one entitlement, so pipeline efficiency is
+    meaningful only relative to what the hardware concurrently delivers.
+    """
+    import multiprocessing as mp
+
+    def measure(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            p.map(_spin, [n] * procs * 3)
+            return procs * 3 * n / (time.time() - t0)
+
+    r_n = measure(cores_n)
+    r_4n = measure(cores_n * 4)
+    return round((r_4n / r_n) / 4, 3)
+
+
 def _run_scaling(
-    cores_n: int, pages_path: str, n_docs: int, reps: int = 3, sink_dir: str | None = None
+    cores_n: int, pages_path: str, n_docs: int, reps: int = 2, sink_dir: str | None = None
 ) -> dict:
-    times_n = _time_extract_at(cores_n, pages_path, reps, sink_dir=sink_dir)
-    times_4n = _time_extract_at(cores_n * 4, pages_path, reps, sink_dir=sink_dir)
+    # Interleave the two core counts (N, 4N, N, 4N): the VM's entitlement
+    # drifts on a minutes timescale, so back-to-back legs sample comparable
+    # conditions where sequential legs did not (observed one leg 1.7×
+    # slower than the same leg minutes later).
+    times_n: list[float] = []
+    times_4n: list[float] = []
+    for _ in range(2):
+        times_n += _time_extract_at(cores_n, pages_path, reps=max(1, reps // 2), sink_dir=sink_dir)
+        times_4n += _time_extract_at(
+            cores_n * 4, pages_path, reps=max(1, reps // 2), sink_dir=sink_dir
+        )
+    ceiling = _machine_ceiling(cores_n)
     thr_n = n_docs / min(times_n)
     thr_4n = n_docs / min(times_4n)
+    eff = round((thr_4n / thr_n) / 4, 3)
     return {
         "cores_n": cores_n,
         "cores_4n": cores_n * 4,
@@ -127,7 +167,9 @@ def _run_scaling(
         "times_4n_sec": [round(t, 2) for t in times_4n],
         "docs_per_sec_n": round(thr_n, 1),
         "docs_per_sec_4n": round(thr_4n, 1),
-        "efficiency": round((thr_4n / thr_n) / 4, 3),
+        "efficiency": eff,
+        "machine_ceiling_same_window": ceiling,
+        "efficiency_vs_machine_ceiling": round(eff / ceiling, 3),
     }
 
 

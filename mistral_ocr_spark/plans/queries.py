@@ -731,6 +731,51 @@ def doc_fingerprint(spark, sf_dir):
     return X.with_fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
 
 
+# GPT-2-style pretokenizer (simplified, ASCII classes): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+# Alternation order is significant and identical in Java regex and RE2.
+_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+@_q(
+    "token_count_bpe",
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+    "'''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+')) "
+    "AS BIGINT) AS n_bpe_tokens FROM documents",
+)
+def token_count_bpe(spark, sf_dir):
+    # BPE-ish token counting (the brief's second tokenizer): counts
+    # pretokenizer segments, the standard proxy for BPE token budgets when
+    # no vocabulary is loaded.
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@_q(
+    "doc_rolling_hash",
+    # True polynomial rolling hash (Rabin-Karp accumulator) over the
+    # normalized character stream — base 31, modulus 1e9+7, identical fold
+    # in both engines.
+    "SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    "regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ''), "
+    "c -> ord(c))), (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS rhash "
+    "FROM documents",
+)
+def doc_rolling_hash(spark, sf_dir):
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    d = _t(spark, sf_dir, "documents").withColumn("_chars", F.split(norm, ""))
+    rhash = F.aggregate(
+        F.col("_chars"),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(1000000007),
+    )
+    return d.select("doc_id", rhash.cast("bigint").alias("rhash"))
+
+
 # ===========================================================================
 # Deduplication (training-data pipeline ops)
 # ===========================================================================

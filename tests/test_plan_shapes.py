@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the optimizations the engine's scale
+story depends on must be visible in `explain` output — filters reaching
+the parquet scan, small dims broadcast, top-k as TakeOrderedAndProject,
+column-pruned reads, and no cartesian products outside the declared
+single-row broadcasts."""
+
+from __future__ import annotations
+
+import pytest
+
+from mistral_ocr_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    fn, _sql = REGISTRY[name]
+    return fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushes_filter(spark):
+    plan = _plan(spark, "point_lookup")
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split("PushedFilters")[1][:80]
+
+
+def test_point_lookup_prunes_columns(spark):
+    plan = _plan(spark, "point_lookup")
+    read = plan.split("ReadSchema")[1][:200]
+    assert "text" not in read, f"unpruned scan reads text column: {read}"
+
+
+def test_tpch_q3_broadcasts_dim_and_takeordered(spark):
+    plan = _plan(spark, "tpch_q3_shipping")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k without a full sort
+
+
+def test_topk_is_takeordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "topk_orders")
+
+
+def test_anti_join_is_broadcast_or_hash(spark):
+    plan = _plan(spark, "resume_anti_join")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_is_partial_then_final(spark):
+    # map-side combine: two HashAggregate nodes around the exchange
+    plan = _plan(spark, "tpch_q1_pricing")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_no_cartesian_outside_declared_single_row_broadcasts(spark):
+    # Every registered query must avoid CartesianProduct; the single-row
+    # scalar broadcasts (progress_pct, status_counters, ANN query vector)
+    # plan as BroadcastNestedLoopJoin over one broadcast row, which is the
+    # intended shape.
+    offenders = []
+    for name in REGISTRY:
+        if name == "lineage_status":
+            continue  # runs the extractor; plan string still fine but slow
+        fn, _sql = REGISTRY[name]
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+@pytest.mark.parametrize("name", ["search_content", "tpch_q6_forecast"])
+def test_scans_push_predicates(spark, name):
+    plan = _plan(spark, name)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters")[1][:120]
+    assert "[]" not in pushed.split("]")[0] + "]", f"{name}: empty pushdown {pushed}"
