@@ -135,6 +135,31 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Table maintenance: bin-pack data files under a new snapshot (the
+    Iceberg rewrite_data_files analog; preserves resume state, lineage, and
+    upsert ordering — see catalog.compact)."""
+    spark = get_spark(app_name="ocr-compact")
+    before = len(catalog.load_manifest(args.table)["data_files"])
+    m = catalog.compact(
+        spark,
+        args.table,
+        target_rows_per_file=args.target_rows,
+        expire_old_files=args.expire,
+    )
+    print(
+        json.dumps(
+            {
+                "snapshot_id": m["snapshot_id"],
+                "data_files_before": before,
+                "data_files_after": len(m["data_files"]),
+                "expired_old_files": bool(args.expire),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_files(args) -> int:
     """Manifest summary + the input-file registry (the reference `files`
     verb covers both sides: simple_client.py:82-96 input registry and the
@@ -205,6 +230,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--table", required=True)
     s.add_argument("--refresh", help="input dir to (re)register in the registry")
     s.set_defaults(func=cmd_files)
+
+    s = sub.add_parser("compact", help="bin-pack data files under a new snapshot")
+    s.add_argument("--table", required=True)
+    s.add_argument("--target-rows", type=int, default=250_000)
+    s.add_argument("--expire", action="store_true", help="delete superseded files")
+    s.set_defaults(func=cmd_compact)
 
     s = sub.add_parser("cancel", help="cooperatively cancel a run at the next chunk boundary")
     s.add_argument("--table", required=True)

@@ -140,6 +140,26 @@ def _make_page(
         return url, pdf, None, lang
     if i % 97 == 1:  # empty body
         return url, b"<html><head><title>t</title></head><body></body></html>", None, lang
+    if i % 93 == 1:  # script/style-heavy page: code must never leak into text
+        body = _words(i, 0, 14)
+        doc = (
+            "<html><head><title>t</title>"
+            "<style>p:before{content:'<fake>'} .x{color:red}</style>"
+            '<script>var s = "<p>not text</p>"; if (a<b && c>d) { run(); }</script>'
+            f"</head><body><article><p>{body}</p>"
+            "<script>inline(1<2);</script></article></body></html>"
+        )
+        return url, doc.encode("utf-8"), None, lang
+    if i % 91 == 1:  # comment/CDATA-wrapped chrome around real content
+        body = _words(i, 1, 16)
+        doc = (
+            "<html><head><title>t</title></head><body>"
+            "<!-- <nav><a href='/'>commented-out nav</a></nav> -->"
+            "<![CDATA[ stray cdata block ]]>"
+            f"<article><p>{body}</p></article>"
+            "<!-- trailing comment --></body></html>"
+        )
+        return url, doc.encode("utf-8"), None, lang
 
     n_paras = (1 + i % 4) * paras_mult
     paras = []

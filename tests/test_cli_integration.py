@@ -64,3 +64,29 @@ def test_full_cli_workflow(table, capsys):
     assert cli.main(["files", "--table", tbl]) == 0
     manifest = json.loads(capsys.readouterr().out)
     assert manifest["committed_chunks"]["run-0001"] == [0, 1]
+
+
+def test_cli_compact_and_registry(table, capsys):
+    """Round-2 verbs: compact (table maintenance) and files --refresh
+    (input registry) against a real table."""
+    tbl, root = table
+    # materialize a pages dir so --refresh has real input files
+    from pyspark.sql import SparkSession
+
+    from mistral_ocr_spark.sources.fixtures import generate_pages
+
+    spark = SparkSession.getActiveSession()
+    pages_dir = f"{root}/pages_in"
+    generate_pages(spark, 300, partitions=3).write.mode("overwrite").parquet(pages_dir)
+
+    assert cli.main(["submit", "--table", tbl, "--pages", pages_dir, "--chunks", "2"]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["compact", "--table", tbl, "--target-rows", "1000"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["data_files_after"] <= out["data_files_before"]
+
+    assert cli.main(["files", "--table", tbl, "--refresh", pages_dir]) == 0
+    summary = json.loads(capsys.readouterr().out)
+    reg = summary["input_registry"]["pages"]
+    assert reg["n_files"] >= 3 and reg["n_rows"] == 300 and reg["bytes"] > 0

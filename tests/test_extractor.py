@@ -144,3 +144,28 @@ def test_images_extracted():
 def test_entity_roundtrip():
     r = extract(b"<article><p>a &amp; b &lt; c &gt; d &#x27;q&#x27;</p></article>")
     assert r.text == "a & b < c > d 'q'"
+
+
+def test_script_style_never_leak_into_text():
+    """The script/style-heavy and comment/CDATA fixture rows (round 2):
+    code, CSS, commented-out markup, and CDATA junk must never appear in
+    extracted text; the real paragraph must survive byte-identically."""
+    from mistral_ocr_spark.extractor import extract
+    from mistral_ocr_spark.sources.fixtures import _make_page, _words
+
+    seen_script = seen_comment = 0
+    for i in range(3000):
+        if i % 93 == 1 and i % 109 != 1 and i % 103 != 1 and i % 97 != 1:
+            _u, html, _t, _l = _make_page(i)
+            r = extract(html)
+            assert "var s" not in (r.text or "") and "content:" not in (r.text or "")
+            assert _words(i, 0, 14) in (r.text or "")
+            seen_script += 1
+        if i % 91 == 1 and i % 109 != 1 and i % 103 != 1 and i % 97 != 1 and i % 93 != 1:
+            _u, html, _t, _l = _make_page(i)
+            r = extract(html)
+            assert "commented-out" not in (r.text or "")
+            assert "cdata" not in (r.text or "")
+            assert _words(i, 1, 16) in (r.text or "")
+            seen_comment += 1
+    assert seen_script > 20 and seen_comment > 20

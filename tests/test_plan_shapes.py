@@ -74,3 +74,37 @@ def test_scans_push_predicates(spark, name):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters")[1][:120]
     assert "[]" not in pushed.split("]")[0] + "]", f"{name}: empty pushdown {pushed}"
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both join sides on the join key (the co-located-join lever
+    for repeated large joins at scale): the sort-merge join must plan with
+    ZERO Exchange nodes, vs two for the unbucketed equivalent."""
+    from pyspark.sql import functions as F
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/warehouse'")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable(
+        "bkt.orders_b"
+    )
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+        "overwrite"
+    ).saveAsTable("bkt.customer_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        bucketed = spark.table("bkt.orders_b").join(
+            spark.table("bkt.customer_b"), F.col("o_custkey") == F.col("c_custkey")
+        )
+        plain = orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        plan_b = bucketed._jdf.queryExecution().executedPlan().toString()
+        plan_p = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan_b, f"bucketed join still shuffles:\n{plan_b[:500]}"
+        assert "Exchange" in plan_p  # the unbucketed baseline does shuffle
+        assert bucketed.count() == plain.count()  # same answer
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.customer_b")
+        spark.sql("DROP DATABASE IF EXISTS bkt")
