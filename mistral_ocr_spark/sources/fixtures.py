@@ -134,9 +134,24 @@ def _make_page(
 
     if i % 109 == 1:  # NULL html → fallback text path
         return url, None, _words(i, 0, 12), lang
-    if i % 103 == 1:  # fake PDF with text objects
-        body = _words(i, 0, 10)
-        pdf = b"%PDF-1.4\n1 0 obj\nBT (" + body.encode("latin-1") + b") Tj ET\nendobj\n"
+    if i % 103 == 1:  # PDF with text objects (layout variants, det. in i)
+        l1 = _words(i, 0, 6).encode("latin-1")
+        l2 = _words(i, 1, 5).encode("latin-1")
+        w3 = _words(i, 2, 2).encode("latin-1").split(b" ")
+        content = (
+            b"BT /F1 12 Tf 72 720 Td (" + l1 + b") Tj 0 -14 Td (" + l2 + b") Tj ET\n"
+            b"BT [(" + w3[0] + b") -400 (" + w3[1] + b")] TJ ET"
+        )
+        if i % 3 == 0:  # FlateDecode-compressed content stream variant
+            import zlib as _z
+
+            pdf = (
+                b"%PDF-1.5\n4 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+                + _z.compress(content)
+                + b"\nendstream\nendobj\n"
+            )
+        else:
+            pdf = b"%PDF-1.4\n1 0 obj\n" + content + b"\nendobj\n"
         return url, pdf, None, lang
     if i % 97 == 1:  # empty body
         return url, b"<html><head><title>t</title></head><body></body></html>", None, lang

@@ -60,3 +60,65 @@ def read_streamed_output(spark: SparkSession, out_dir: str) -> DataFrame:
     if not os.path.exists(out_dir):
         return spark.createDataFrame([], EXTRACTED_SCHEMA)
     return spark.read.schema(EXTRACTED_SCHEMA).parquet(out_dir)
+
+
+def incremental_extract_to_catalog(
+    spark: SparkSession,
+    pages_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    run_id: str = "stream-0001",
+) -> None:
+    """Streaming extraction that lands in the SAME catalog table the batch
+    pipeline writes: each micro-batch commits data files + per-partition
+    lineage rows under one atomic manifest snapshot (chunk_id = the
+    streaming batch_id), so every CLI verb — status, results, search,
+    files, compact — works identically on streamed and batch tables.
+
+    Exactly-once is double-layered: Spark's checkpoint replays an
+    unacknowledged batch with the SAME batch_id after a crash, and the
+    commit guard skips batch ids already in the manifest — a replayed
+    foreachBatch becomes a no-op instead of duplicate files (the streaming
+    analog of pipeline.run's committed-chunk skip).
+    """
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from mistral_ocr_spark import pipeline as P
+    from mistral_ocr_spark.sources import catalog
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).format("parquet").load(pages_dir)
+    extracted = pages.mapInArrow(extract_batches, EXTRACTED_SCHEMA)
+
+    def commit_batch(df: DataFrame, batch_id: int) -> None:
+        if batch_id in catalog.committed_chunks(table_root, run_id):
+            return  # checkpoint replay after a crash: already committed
+        started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        out = df.withColumn("run_id", F.lit(run_id))
+        data_path = os.path.join(
+            table_root, "data", f"run={run_id}", f"chunk={batch_id}"
+        )
+        out.sortWithinPartitions("url").write.mode("overwrite").parquet(data_path)
+        data_files = catalog.list_parquet_files(data_path)
+        lineage = P._lineage_from_written(spark, data_files, run_id, batch_id, started)
+        lin_path = os.path.join(
+            table_root, "lineage", f"run={run_id}", f"chunk={batch_id}"
+        )
+        lineage.coalesce(1).write.mode("overwrite").parquet(lin_path)
+        catalog.commit_chunk(
+            table_root,
+            run_id,
+            batch_id,
+            data_files,
+            catalog.list_parquet_files(lin_path),
+            schema_json=out.schema.jsonValue(),
+        )
+
+    q = (
+        extracted.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

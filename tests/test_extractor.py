@@ -169,3 +169,39 @@ def test_script_style_never_leak_into_text():
             assert _words(i, 1, 16) in (r.text or "")
             seen_comment += 1
     assert seen_script > 20 and seen_comment > 20
+
+
+def test_pdf_multiline_positioning():
+    """Td/TD/T*/' line positioning renders as newline-joined lines."""
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\nBT /F1 12 Tf 72 720 Td (line one) Tj "
+        b"0 -14 Td (line two) Tj T* (line three) Tj (line four) ' ET\nendobj"
+    )
+    assert extract_pdf_text(pdf) == ["line one\nline two\nline three\nline four"]
+
+
+def test_pdf_hex_strings_and_kerning():
+    """<hex> strings decode; TJ kern gaps <= -180/1000 em become spaces,
+    small kerns do not."""
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\nBT <48656C6C6F> Tj ET\n"
+        b"BT [(Ta) -50 (ble) -500 (cell)] TJ ET\nendobj"
+    )
+    assert extract_pdf_text(pdf) == ["Hello", "Table cell"]
+
+
+def test_pdf_escapes_and_octal():
+    pdf = b"%PDF-1.4\nBT (A\\054 B\\\\C\\nD) Tj ET"
+    assert extract_pdf_text(pdf) == ["A, B\\C\nD"]
+
+
+def test_pdf_flate_multiline():
+    import zlib
+
+    content = b"BT (top) Tj 0 -12 Td [(bot) -300 (tom)] TJ ET"
+    pdf = (
+        b"%PDF-1.5\n4 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+        + zlib.compress(content)
+        + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(pdf) == ["top\nbot tom"]

@@ -174,3 +174,43 @@ def test_stateful_v2_transform_with_state(spark):
     assert stats == expected
     assert stats["hot.example.com"][0] == 150
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_commits_into_catalog(spark):
+    """Streamed extraction lands in the same manifest table as the batch
+    pipeline: committed chunks per micro-batch, lineage rows, latest-wins
+    reads, exactly-once across re-invocations, CLI-readable."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mistral_ocr_spark.sources import catalog
+    from mistral_ocr_spark.streaming.incremental import incremental_extract_to_catalog
+
+    base = tempfile.mkdtemp(prefix="ocr_stream_cat_")
+    pages_dir, tbl, ckpt = f"{base}/pages", f"{base}/tbl", f"{base}/ckpt"
+
+    generate_pages(spark, 400, partitions=2).write.mode("append").parquet(pages_dir)
+    incremental_extract_to_catalog(spark, pages_dir, tbl, ckpt)
+    assert catalog.read_extracted(spark, tbl).count() == 400
+    lin = catalog.read_lineage(spark, tbl)
+    assert lin.agg(F.sum("doc_count")).collect()[0][0] == 400
+
+    # idempotent rerun: no new files, nothing duplicated
+    m_before = catalog.load_manifest(tbl)
+    incremental_extract_to_catalog(spark, pages_dir, tbl, ckpt)
+    assert catalog.read_extracted(spark, tbl).count() == 400
+    assert catalog.load_manifest(tbl)["data_files"] == m_before["data_files"]
+
+    # new files land -> a new chunk commits; urls stay exactly-once
+    generate_pages(spark, 150, partitions=1).selectExpr(
+        "concat(url, '?s2') AS url", "warc_ts", "html", "text", "lang"
+    ).write.mode("append").parquet(pages_dir)
+    incremental_extract_to_catalog(spark, pages_dir, tbl, ckpt)
+    latest = catalog.read_extracted_latest(spark, tbl)
+    assert latest.count() == 550
+    assert latest.select("url").distinct().count() == 550
+    chunks = catalog.committed_chunks(tbl, "stream-0001")
+    assert len(chunks) >= 2
+
+    shutil.rmtree(base, ignore_errors=True)
