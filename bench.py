@@ -41,7 +41,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_multiprobe_topk",
     "token_count",
+    "token_count_bpe",
     "quality_score",
 ]
 

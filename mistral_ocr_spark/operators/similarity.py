@@ -115,19 +115,42 @@ def embedding_near_dup_lsh(
     ).filter(F.col("cos_sim") >= threshold)
 
 
-def plane_sigs(vec_col: Column, planes: np.ndarray) -> Column:
-    """Hyperplane sign signature packed 32 bits per array element (longs) —
-    ⌈n_planes/32⌉ elements. 32-bit groups avoid signed-overflow portability
+def plane_signatures(
+    embeddings: DataFrame, planes: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, sig): hyperplane sign signature packed 32 bits per array
+    element (longs), ⌈n_planes/32⌉ elements — one vectorized matmul per
+    Arrow batch (``V @ planes.T >= 0``), never per-plane expressions (a
+    128-plane expression tree is interpreted, not codegen'd: measured 16 s
+    → 0.9 s on the sf0.1 fixture). 32-bit groups avoid signed-overflow
     traps; hamming distance is then a sum of ``bit_count(xor)`` per element."""
-    groups = []
-    for g0 in range(0, len(planes), 32):
-        acc = F.lit(0).cast("long")
-        for i, p in enumerate(planes[g0 : g0 + 32]):
-            plane = F.array([F.lit(float(x)) for x in p])
-            bit = F.when(_dot(vec_col, plane) >= 0, 1).otherwise(0).cast("long")
-            acc = acc + bit * F.lit(1 << i).cast("long")
-        groups.append(acc)
-    return F.array(groups)
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    pl = np.ascontiguousarray(planes, dtype=np.float64)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (V @ pl.T) >= 0  # n × p
+            groups = []
+            for g0 in range(0, pl.shape[0], 32):
+                chunk = bits[:, g0 : g0 + 32].astype(np.int64)
+                pw = 1 << np.arange(chunk.shape[1], dtype=np.int64)
+                groups.append(chunk @ pw)
+            sig = np.stack(groups, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "sig": list(map(list, sig))})
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    return embeddings.select("vec_id", vec_col).mapInPandas(fn, schema)
 
 
 def signature_rerank_topk(
@@ -157,9 +180,10 @@ def signature_rerank_topk(
     percent, so the budget is the knob, not the design.
     """
     planes = _hyperplanes(dim, n_planes)
-    sigs = embeddings.withColumn("sig", plane_sigs(F.col(vec_col), planes))
-    q = sigs.filter(F.col("vec_id") == query_id).select(
-        F.col("sig").alias("q_sig"), F.col(vec_col).alias("q_vec")
+    sigs = plane_signatures(embeddings, planes, vec_col)
+    q_sig = sigs.filter(F.col("vec_id") == query_id).select(F.col("sig").alias("q_sig"))
+    q_vec = embeddings.filter(F.col("vec_id") == query_id).select(
+        F.col(vec_col).alias("q_vec")
     )
     n = embeddings.count()
     budget = max(k, int(math.ceil(n * rerank_frac)))
@@ -168,13 +192,17 @@ def signature_rerank_topk(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    cand = (
-        sigs.crossJoin(F.broadcast(q))
+    # Prescreen touches ONLY the signature table (id + 4 longs per row);
+    # full vectors are fetched for the surviving slice alone.
+    cand_ids = (
+        sigs.crossJoin(F.broadcast(q_sig))
         .filter(F.col("vec_id") != query_id)
         .withColumn("ham", ham)
         .orderBy(F.asc("ham"), F.asc("vec_id"))
         .limit(budget)
+        .select("vec_id")
     )
+    cand = embeddings.join(F.broadcast(cand_ids), "vec_id").crossJoin(F.broadcast(q_vec))
     return (
         cand.select(
             "vec_id", F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim")
