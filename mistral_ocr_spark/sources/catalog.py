@@ -374,7 +374,9 @@ def register_input_files(
         )
     )
     out_dir = os.path.join(root, "input_files", f"refresh-{uuid.uuid4().hex}")
-    rows.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    # natural partitioning, NOT coalesce(1): one registry row per input
+    # file means a refresh over 10^7+ files must stay a distributed write
+    rows.write.mode("overwrite").parquet(out_dir)
     files = list_parquet_files(out_dir)
 
     def build(m: dict[str, Any]) -> dict[str, Any]:

@@ -163,3 +163,31 @@ def test_input_registry_refresh_upsert(spark, table_root):
     seqs = {r.refreshed_at for r in latest.collect()}
     assert len(seqs) == 1
     assert len(m2["input_file_files"]) == 2
+
+
+def _race_commit(args):
+    root, run_id, chunk = args
+    from mistral_ocr_spark.sources import catalog as cat
+
+    m = cat.commit_chunk(root, run_id, chunk, [f"/d/{run_id}-{chunk}.parquet"], [])
+    return m["snapshot_id"]
+
+
+def test_concurrent_commits_all_land(table_root):
+    """REAL race: 8 processes commit simultaneously against one table root.
+    Every commit must land (unique snapshot ids, all chunks present, all
+    data files in the final manifest) — the optimistic-concurrency loop
+    under genuine contention, not a simulated conflict."""
+    import multiprocessing as mp
+
+    jobs = [(table_root, f"run-{i % 3}", i) for i in range(8)]
+    with mp.get_context("spawn").Pool(8) as pool:
+        snaps = pool.map(_race_commit, jobs)
+    assert sorted(snaps) == list(range(1, 9))  # unique, gapless snapshot ids
+
+    m = catalog.load_manifest(table_root)
+    assert m["snapshot_id"] == 8
+    committed = {(r, c) for r, cs in m["committed_chunks"].items() for c in cs}
+    assert committed == {(f"run-{i % 3}", i) for i in range(8)}
+    assert len(m["data_files"]) == 8
+    assert set(m["file_seq"].values()) == set(range(1, 9))
