@@ -8,10 +8,10 @@ Scale notes (the 100 TB design point):
 - The shingle join carries an optional ``max_df`` document-frequency cut:
   shingles occurring in more than ``max_df`` documents are dropped before
   the join (stopword-shingles otherwise explode the join at web scale).
-- MinHash signatures are computed in *one* Arrow-batched pandas pass
-  (numpy inside, shingle hashing JVM-side); SimHash signatures are pure
-  built-in expressions (no Python at all). Candidate pairs verify with
-  built-in array / bit functions — the O(n²) work never touches Python.
+- MinHash and SimHash signatures are each computed in *one* Arrow-batched
+  pandas pass: word/shingle hashing runs JVM-side, Python does only a
+  vectorized numpy reduction per doc. Candidate pairs verify with built-in
+  array / bit functions — the O(n²) work never touches Python.
 - All hash functions are explicitly seeded/fixed — signatures are
   deterministic across executors, which resume/idempotency depends on.
 """
@@ -164,7 +164,7 @@ def _minhash_batch_fn(num_hashes: int):
         for pdf in batches:
             sigs = []
             for hashes in pdf["sh_hash"]:
-                if len(hashes) == 0:
+                if hashes is None or len(hashes) == 0:  # NULL text → sentinel sig
                     sigs.append([int(_MAX32)] * num_hashes)
                     continue
                 # shingle hashes arrive pre-computed (JVM xxhash64);
@@ -322,6 +322,10 @@ def _simhash_batch_fn():
         for pdf in batches:
             los, his = [], []
             for a, b in zip(pdf["wlo"], pdf["whi"]):
+                if a is None or b is None:  # NULL text → all-zero signature
+                    los.append(0)
+                    his.append(0)
+                    continue
                 lo = np.asarray(a, dtype=np.int64)
                 hi = np.asarray(b, dtype=np.int64)
                 n = len(lo)
