@@ -1,13 +1,19 @@
 """Similarity search over an embedding column (array<float>).
 
-Brute-force cosine top-k as the exact baseline (pure built-in expressions:
-``zip_with`` + ``aggregate`` — JVM-side, no Python), and a random-
-hyperplane-LSH bucketed variant as the scale path (bucket join instead of
-the O(n·q) cross product).
+Three tiers:
+- ``brute_force_topk`` — exact baseline, pure built-in expressions
+  (``zip_with`` + ``aggregate``, JVM-side).
+- ``lsh_topk`` / ``embedding_near_dup_lsh`` — random-hyperplane bucketed
+  variants (bucket join instead of the O(n·q) cross product), with
+  bit-flip multi-probing; best on clustered corpora (near-dup retrieval).
+- ``signature_rerank_topk`` — hamming-ordered multi-probe: a 128-bit
+  signature prescreen (numpy matmul kernel) ranks every vector by
+  signature distance, and only the best slice is exact-reranked. The
+  prescreen scans 16 B/vector instead of the raw dim·4 B.
 
 Scale notes: at 10^9+ vectors the brute-force path is only for reranking
-within buckets; the LSH variant's bucket join shuffles each side once on
-the bucket key and broadcast-joins the (tiny) query set.
+candidate slices; the bucketed joins shuffle each side once on the bucket
+key and broadcast-join the (tiny) query/probe set.
 """
 
 from __future__ import annotations
