@@ -702,8 +702,11 @@ def lang_id(spark, sf_dir):
     return X.with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
 
-def _quality_oracle() -> str:
-    t = "trim(text)"
+def _quality_expr_sql(text_sql: str = "text") -> str:
+    """The quality formula (same arithmetic as textstats.with_quality_score)
+    over an arbitrary SQL text expression — reused by the raw-documents
+    query and the extract→score composition."""
+    t = f"trim({text_sql})"
     n_tok = f"CAST(len(regexp_split_to_array({t}, '\\s+')) AS DOUBLE)"
     p = f"(' ' || {t} || ' ')"
     stop = " + ".join(X.occurrences_sql(p, s) for s in X.STOPWORDS)
@@ -711,15 +714,29 @@ def _quality_oracle() -> str:
     len_score = f"least(1.0, {n_tok} / 100.0)"
     mean_wlen = f"(length({t}) / greatest({n_tok}, 1.0))"
     wlen = f"(CASE WHEN {mean_wlen} >= 3.0 AND {mean_wlen} <= 10.0 THEN 1.0 ELSE 0.0 END)"
-    return (
-        f"SELECT doc_id, round({len_score} * 0.4 + {stop_ratio} * 0.3 + {wlen} * 0.3, 6) "
-        "AS quality FROM documents"
-    )
+    return f"round({len_score} * 0.4 + {stop_ratio} * 0.3 + {wlen} * 0.3, 6)"
+
+
+def _quality_oracle() -> str:
+    return f"SELECT doc_id, {_quality_expr_sql()} AS quality FROM documents"
 
 
 @_q("quality_score", _quality_oracle())
 def quality_score(spark, sf_dir):
     return X.with_quality_score(_t(spark, sf_dir, "documents")).select("doc_id", "quality")
+
+
+@_q(
+    # End-to-end composition: in-cluster extraction feeding the training-
+    # data quality scorer, value-checked as one unit (the oracle applies
+    # the identical formula to the SQL-expected extraction output).
+    "pipeline_quality",
+    f"SELECT {URL_SQL} AS url, {_quality_expr_sql(f'({ORACLE_TEXT_SQL})')} AS quality "
+    "FROM documents",
+)
+def pipeline_quality(spark, sf_dir):
+    ext = extract_pages(pages_from_documents(spark, sf_dir)).select("url", "text")
+    return X.with_quality_score(ext).select("url", "quality")
 
 
 @_q(

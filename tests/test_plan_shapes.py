@@ -108,3 +108,15 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
         spark.sql("DROP TABLE IF EXISTS bkt.customer_b")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_extraction_plan_has_exactly_one_shuffle(spark):
+    """The flagship pipeline is map-only around ONE explicit shuffle (the
+    salted repartition); any second Exchange would be a scale regression."""
+    from mistral_ocr_spark.operators.extract import extract_pages
+    from mistral_ocr_spark.pipeline import salted_repartition
+    from mistral_ocr_spark.sources.fixtures import generate_pages
+
+    ext = extract_pages(salted_repartition(generate_pages(spark, 100, partitions=2), 4))
+    plan = ext._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:800]
