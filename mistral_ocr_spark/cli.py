@@ -32,6 +32,25 @@ def cmd_submit(args) -> int:
     from mistral_ocr_spark.sources.fixtures import generate_pages
 
     spark = get_spark(app_name="ocr-submit")
+    if getattr(args, "stream", False):
+        # Streaming ingestion into the SAME catalog table (micro-batch =
+        # committed chunk); requires --pages (a directory new files land in).
+        if not args.pages:
+            print(json.dumps({"error": "--stream requires --pages"}))
+            return 1
+        from mistral_ocr_spark.streaming.incremental import (
+            incremental_extract_to_catalog,
+        )
+
+        ckpt = args.checkpoint or f"{args.table}/_stream_checkpoint"
+        incremental_extract_to_catalog(
+            spark, args.pages, args.table, ckpt, run_id=args.run_id
+        )
+        n = catalog.read_lineage(spark, args.table).filter(
+            F.col("run_id") == args.run_id
+        ).agg(F.sum("doc_count")).collect()[0][0]
+        print(json.dumps({"streamed": True, "run_id": args.run_id, "docs": int(n or 0)}))
+        return 0
     if args.pages:
         pages = spark.read.parquet(args.pages)
     else:
@@ -205,6 +224,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--run-id", default="run-0001")
     s.add_argument("--chunks", type=int, default=4)
     s.add_argument("--max-chunks", type=int, default=None)
+    s.add_argument("--stream", action="store_true",
+                   help="streaming ingestion (micro-batch commits) instead of chunked batch")
+    s.add_argument("--checkpoint", help="streaming checkpoint dir (default under table)")
     s.set_defaults(func=cmd_submit)
 
     s = sub.add_parser("status", help="per-run counters from lineage")

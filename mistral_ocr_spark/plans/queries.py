@@ -1008,6 +1008,37 @@ def dedup_embedding_lsh(spark, sf_dir):
     return S.embedding_near_dup_lsh(_aug_embeddings(spark, sf_dir), 0.9, vec_col="emb")
 
 
+@_q(
+    # int8 scalar quantization (the 4× vector-storage lever): per-vector
+    # scale + L1 mass of the quantized codes, bit-identical arithmetic in
+    # both engines (IEEE754 double ops + half-away-from-zero rounding).
+    "embedding_quantize",
+    """WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+    CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) = 0
+         THEN 1.0
+         ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127
+    END AS scale
+  FROM embeddings)
+SELECT vec_id, round(scale, 6) AS q_scale,
+  CAST(list_aggregate(list_transform(e, x -> abs(round(x / scale))), 'sum') AS BIGINT)
+    AS q_l1
+FROM b""",
+)
+def embedding_quantize(spark, sf_dir):
+    q = S.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    l1 = F.aggregate(
+        F.transform("q_vec", lambda v: F.abs(v.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return q.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        l1.cast("bigint").alias("q_l1"),
+    )
+
+
 # ===========================================================================
 # Multimodal plumbing
 # ===========================================================================

@@ -90,3 +90,26 @@ def test_cli_compact_and_registry(table, capsys):
     summary = json.loads(capsys.readouterr().out)
     reg = summary["input_registry"]["pages"]
     assert reg["n_files"] >= 3 and reg["n_rows"] == 300 and reg["bytes"] > 0
+
+
+def test_cli_submit_stream(table, capsys):
+    """submit --stream: streaming ingestion into the catalog table; the
+    status verb reads the streamed lineage like any batch run's."""
+    tbl, root = table
+    from pyspark.sql import SparkSession
+
+    from mistral_ocr_spark.sources.fixtures import generate_pages
+
+    spark = SparkSession.getActiveSession()
+    pages_dir = f"{root}/stream_in"
+    generate_pages(spark, 200, partitions=2).write.mode("append").parquet(pages_dir)
+
+    rc = cli.main(
+        ["submit", "--table", tbl, "--pages", pages_dir, "--stream", "--run-id", "s-01"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"streamed": True, "run_id": "s-01", "docs": 200}
+
+    assert cli.main(["status", "--table", tbl]) == 0
+    assert "s-01" in capsys.readouterr().out
