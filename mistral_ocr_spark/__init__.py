@@ -16,6 +16,6 @@ Design tenets (scale-first):
   covering data + lineage, so a killed job resumes exactly-once per url.
 """
 
-EXTRACTOR_VERSION = "1.2.0"  # 1.2.0: terminating-blocks demotion in classify
+EXTRACTOR_VERSION = "1.2.1"  # 1.2.1: PDF text-state operands no longer leak into TJ kerning
 
 __all__ = ["EXTRACTOR_VERSION"]

@@ -35,11 +35,20 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 
 # Content-stream tokens we interpret inside a text object, in source order.
+# Text-state operators (Tc Tw Tz TL Ts Tr) are tokenized even though their
+# values are ignored: their numeric operands must be consumed, or a
+# following `[...] TJ` would read them as kern gaps (ADVICE r2 — e.g.
+# `-250 Tw [(a)(b)] TJ` injected a spurious leading space). `[` is also
+# tokenized so TJ only ever treats numbers lexically inside its array as
+# kern values, which defends against ANY unhandled numeric-operand
+# operator, not just the enumerated ones.
 _TOKEN_RE = re.compile(
     rb"\((?:[^()\\]|\\.)*\)"  # literal string
     rb"|<[0-9A-Fa-f\s]*>"  # hex string
     rb"|-?\d+(?:\.\d+)?"  # numeric operand
     rb"|T\*|Td|TD|Tj|TJ|Tm|Tf"  # operators of interest
+    rb"|Tc|Tw|Tz|TL|Ts|Tr"  # text-state operators (operand sinks)
+    rb"|\["  # TJ array open — kern-number scope marker
     rb"|'|\"",
     re.DOTALL,
 )
@@ -118,8 +127,12 @@ def _render_text_object(body: bytes) -> str:
         elif tok in (b"Td", b"TD", b"T*", b"Tm"):
             newline()
             pending.clear()
-        elif tok == b"Tf":
-            pending.clear()  # font name/size operands
+        elif tok in (b"Tf", b"Tc", b"Tw", b"Tz", b"TL", b"Ts", b"Tr"):
+            pending.clear()  # font / text-state operands — values ignored
+        elif tok == b"[":
+            # TJ array opens: anything pending is operands of some earlier
+            # operator we don't render — never kern values for this TJ
+            pending.clear()
         elif tok == b"Tj":
             if pending and pending[-1][0] == "str":
                 cur.append(pending[-1][1])  # type: ignore[arg-type]

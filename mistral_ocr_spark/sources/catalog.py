@@ -126,19 +126,29 @@ def _write_exclusive(path: str, payload: str) -> None:
 
 
 def _advance_current(root: str, name: str, snapshot_id: int) -> None:
-    """Point ``_CURRENT`` at ``name`` unless it already points at a newer
-    snapshot (commits may swap out of order; the pointer must only move
-    forward)."""
+    """Point ``_CURRENT`` at ``name``, guaranteeing the pointer never ends up
+    *behind* ``snapshot_id``. The naive check-then-write can REGRESS the
+    pointer (ADVICE r2): committer A (N+1) reads the pointer before B (N+2)
+    writes it, then overwrites B's pointer — hiding B's committed data until
+    the next commit. Each committer therefore re-reads after writing and
+    retries while the pointer is older than its own snapshot; a committer
+    only ever (re)writes its own name, so the loop converges: the final
+    pointer is the max snapshot of all concurrent advancers."""
     cur = os.path.join(root, _CURRENT)
-    try:
-        with open(cur) as f:
-            existing = f.read().strip()
-        existing_id = int(existing.removeprefix("manifest-").removesuffix(".json"))
-        if existing_id >= snapshot_id:
+
+    def _pointer_id() -> int:
+        try:
+            with open(cur) as f:
+                existing = f.read().strip()
+            return int(existing.removeprefix("manifest-").removesuffix(".json"))
+        except (OSError, ValueError):
+            return -1
+
+    for _ in range(200):
+        if _pointer_id() >= snapshot_id:
             return
-    except (OSError, ValueError):
-        pass
-    _atomic_write(cur, name)
+        _atomic_write(cur, name)
+    raise RuntimeError(f"_CURRENT pointer kept regressing under {root}")
 
 
 def _commit(root: str, build: Callable[[dict[str, Any]], dict[str, Any]]) -> dict[str, Any]:
@@ -462,12 +472,20 @@ def compact(
         new_seq.update({p: seq for p in part})
 
     def build(prev: dict[str, Any]) -> dict[str, Any]:
-        keep_seq = {
-            p: s for p, s in prev["file_seq"].items() if p not in set(prev["data_files"])
-        }
+        # Rebase-safe (ADVICE r2): only the files in the *snapshot this
+        # compaction actually rewrote* (m) are superseded. A commit_chunk
+        # that landed between the snapshot and this commit appears in
+        # prev['data_files'] but not in m['data_files'] — it must survive,
+        # with its file_seq entries, or its rows are lost while its chunk
+        # stays marked committed (resume would never re-extract it). This is
+        # Iceberg's rewrite_data_files validation: replace exactly the files
+        # you read, keep everything concurrent.
+        rewritten = set(m["data_files"])
+        survivors = [p for p in prev["data_files"] if p not in rewritten]
+        keep_seq = {p: s for p, s in prev["file_seq"].items() if p not in rewritten}
         return {
             **prev,
-            "data_files": new_files,
+            "data_files": survivors + new_files,
             "file_seq": {**keep_seq, **new_seq},
         }
 
@@ -482,9 +500,16 @@ def compact(
 
 
 def list_parquet_files(path: str) -> list[str]:
-    """Absolute paths of the parquet part files under a just-written dir."""
+    """Absolute paths of the parquet part files under a just-written dir.
+
+    ``os.path.abspath`` is load-bearing (ADVICE r2): manifest paths are
+    joined against ``input_file_name()``, which Spark always reports in
+    absolute ``file:/...`` form. With a relative ``--table`` root the join
+    would silently never match, ``_seq`` would be NULL for every row, and
+    latest-wins would fall back to run_id ordering — the exact run-99 vs
+    run-100 bug ``file_seq`` exists to fix."""
     out = []
-    for dirpath, _dirs, names in os.walk(path):
+    for dirpath, _dirs, names in os.walk(os.path.abspath(path)):
         for n in names:
             if n.endswith(".parquet") and not n.startswith("."):
                 out.append(os.path.join(dirpath, n))

@@ -165,6 +165,91 @@ def test_input_registry_refresh_upsert(spark, table_root):
     assert len(m2["input_file_files"]) == 2
 
 
+def test_compact_preserves_concurrent_commit(spark, table_root, monkeypatch):
+    """A commit_chunk that lands BETWEEN compact()'s manifest snapshot and
+    its commit must survive compaction (ADVICE r2: the old build() set
+    data_files = new_files wholesale, silently dropping the concurrent
+    commit's files while its chunk stayed in committed_chunks — permanent,
+    resume-proof data loss)."""
+    from mistral_ocr_spark.operators.extract import extract_pages
+    from mistral_ocr_spark.pipeline import salted_repartition
+
+    pages = generate_pages(spark, 600, partitions=2)
+    pipeline.run(spark, pages, table_root, run_id="run-0001", n_chunks=1, num_partitions=4)
+
+    # a real second chunk, to be committed mid-compaction
+    late = (
+        extract_pages(salted_repartition(generate_pages(spark, 100, partitions=1), 2))
+        .withColumn("run_id", F.lit("run-late"))
+    )
+    late_path = os.path.join(table_root, "data", "run=run-late", "chunk=0")
+    late.write.mode("overwrite").parquet(late_path)
+    late_files = catalog.list_parquet_files(late_path)
+
+    real_commit = catalog._commit
+    injected = {"done": False}
+
+    def racing_commit(root, build):
+        if not injected["done"]:
+            injected["done"] = True
+            catalog.commit_chunk(root, "run-late", 0, late_files, [])
+        return real_commit(root, build)
+
+    monkeypatch.setattr(catalog, "_commit", racing_commit)
+    catalog.compact(spark, table_root, target_rows_per_file=10_000)
+    monkeypatch.setattr(catalog, "_commit", real_commit)
+
+    m = catalog.load_manifest(table_root)
+    assert set(late_files) <= set(m["data_files"]), "concurrent commit's files dropped"
+    assert set(late_files) <= set(m["file_seq"]), "concurrent commit's seq entries dropped"
+    assert m["committed_chunks"]["run-late"] == [0]
+    latest = catalog.read_extracted_latest(spark, table_root)
+    assert latest.count() == 600
+    # run-late committed with a HIGHER seq than the compacted group, so its
+    # 100 urls must win latest-wins after compaction
+    assert latest.filter(F.col("run_id") == "run-late").count() == 100
+
+
+def test_advance_current_recovers_from_regression(table_root, monkeypatch):
+    """The pointer race (ADVICE r2): committer A (older snapshot) overwrites
+    _CURRENT right after committer B (newer) wrote it. B's advance loop must
+    detect the regression on re-read and rewrite its own pointer."""
+    catalog.commit_chunk(table_root, "r", 0, [], [])  # snapshot 1 exists
+    catalog.commit_chunk(table_root, "r", 1, [], [])  # snapshot 2 exists
+
+    real_write = catalog._atomic_write
+    state = {"first": True}
+
+    def interleaved(path, payload):
+        real_write(path, payload)
+        if state["first"] and payload.startswith("manifest-"):
+            state["first"] = False
+            # A's stale advance lands immediately after B's write
+            real_write(path, "manifest-000000000001.json")
+
+    monkeypatch.setattr(catalog, "_atomic_write", interleaved)
+    catalog._advance_current(table_root, "manifest-000000000002.json", 2)
+    monkeypatch.setattr(catalog, "_atomic_write", real_write)
+    assert catalog.load_manifest(table_root)["snapshot_id"] == 2
+
+
+def test_latest_wins_with_relative_table_root(spark, table_root):
+    """ADVICE r2: with a relative --table root, manifest paths must still
+    match input_file_name()'s absolute form — otherwise every _seq joins
+    NULL and latest-wins silently regresses to lexicographic run_id
+    ordering (run-99 would beat run-100)."""
+    rel_root = os.path.relpath(table_root, os.getcwd())
+    assert not os.path.isabs(rel_root)
+    pages = generate_pages(spark, 200, partitions=2)
+    pipeline.run(spark, pages, rel_root, run_id="run-99", n_chunks=1, num_partitions=2)
+    pipeline.run(spark, pages, rel_root, run_id="run-100", n_chunks=1, num_partitions=2)
+    m = catalog.load_manifest(rel_root)
+    assert all(os.path.isabs(p) for p in m["data_files"])
+    latest = catalog.read_extracted_latest(spark, rel_root)
+    runs = {r.run_id for r in latest.select("run_id").distinct().collect()}
+    assert runs == {"run-100"}
+
+
 def _race_commit(args):
     root, run_id, chunk = args
     from mistral_ocr_spark.sources import catalog as cat

@@ -190,6 +190,18 @@ def test_pdf_hex_strings_and_kerning():
     assert extract_pdf_text(pdf) == ["Hello", "Table cell"]
 
 
+def test_pdf_text_state_operands_are_not_kern_gaps():
+    """Tc/Tw/TL/Tz/Ts/Tr operands must not leak into a following TJ as kern
+    values (ADVICE r2: '-250 Tw [(a) (b)] TJ' injected a spurious leading
+    space), and numbers outside the [...] array are never kern gaps."""
+    pdf = (
+        b"%PDF-1.4\nBT -250 Tw [(a) (b)] TJ ET\n"
+        b"BT 2 Tc 14 TL 100 Tz 0 Ts 1 Tr [(x) -500 (y)] TJ ET\n"
+        b"BT -400 [(p)(q)] TJ ET"  # stray number before the array: ignored
+    )
+    assert extract_pdf_text(pdf) == ["ab", "x y", "pq"]
+
+
 def test_pdf_escapes_and_octal():
     pdf = b"%PDF-1.4\nBT (A\\054 B\\\\C\\nD) Tj ET"
     assert extract_pdf_text(pdf) == ["A, B\\C\nD"]
