@@ -42,8 +42,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_multiprobe_topk",
-    "token_count",
-    "token_count_bpe",
+    "token_counts",
     "quality_score",
 ]
 
