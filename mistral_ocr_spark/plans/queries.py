@@ -999,8 +999,9 @@ def ann_cosine_topk(spark, sf_dir):
 
 @_q("ann_multiprobe_topk", None)  # ANN: recall < 1 by design → rows-only
 def ann_multiprobe_topk(spark, sf_dir):
-    # Hamming-ordered multi-probe (128-bit signature prescreen + exact
-    # rerank): returns the full k with measured recall@10 0.96 vs
+    # Hamming-THRESHOLD multi-probe (128-bit signature prescreen, map-side
+    # ham <= t filter + exact rerank — no O(n)-k TakeOrdered anywhere,
+    # plan-asserted): returns the full k with measured recall@10 1.0 vs
     # ann_cosine_topk on this fixture (tests/test_dedup_similarity.py).
     return S.signature_rerank_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 

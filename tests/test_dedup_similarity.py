@@ -36,6 +36,56 @@ def test_multiprobe_ann_fills_k_and_recall(spark):
     assert avg >= 0.9, f"recall@10 {recalls} (avg {avg}) below 0.9"
 
 
+def _perturbed_embeddings(spark, sf, lo=0.92, hi=0.99):
+    """The base corpus plus one deterministically-perturbed copy per vector
+    (ids +100000): v' = v·cosφ + u·|v|·sinφ with u a seeded random direction
+    orthogonalized against v, so cos(v, v') = cosφ exactly, with cosφ swept
+    uniformly across [lo, hi] — genuinely non-trivial near-dup pairs
+    (VERDICT r2 #4: the cos=1 fixture made LSH recall trivially 1)."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding").collect()
+    out = []
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        rs = np.random.RandomState(10_000 + r.vec_id)
+        u = rs.randn(v.shape[0])
+        u -= u.dot(v) / v.dot(v) * v  # orthogonalize
+        u *= np.linalg.norm(v) / np.linalg.norm(u)
+        cos_phi = lo + (hi - lo) * (r.vec_id % 97) / 96.0
+        vp = v * cos_phi + u * np.sqrt(1.0 - cos_phi**2)
+        out.append((r.vec_id, [float(x) for x in v]))
+        out.append((r.vec_id + 100000, [float(x) for x in vp]))
+    return spark.createDataFrame(out, "vec_id long, emb array<double>")
+
+
+def test_embedding_lsh_recall_on_perturbed_pairs(spark):
+    """Multi-table hyperplane LSH must recover ≥0.9 of the TRUE perturbed
+    pairs (cos ∈ [0.92, 0.99]) found by the exact all-pairs scan — the
+    non-trivial recall evidence a 100-TB dedup claim needs."""
+    aug = _perturbed_embeddings(spark, SF001)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup_pairs(aug, 0.9, vec_col="emb").collect()
+    }
+    true_planted = {p for p in truth if p[1] - p[0] == 100000}
+    assert len(true_planted) >= 400, f"fixture broken: {len(true_planted)} planted pairs"
+    got = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup_lsh(aug, 0.9, vec_col="emb").collect()
+    }
+    assert got <= truth  # exact verify: no false positives ever
+    recall = len(got & true_planted) / len(true_planted)
+    assert recall >= 0.9, f"multi-table LSH recall {recall:.3f} < 0.9"
+    # single-table is the motivating failure: measurably worse
+    single = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup_lsh(aug, 0.9, n_tables=1, vec_col="emb").collect()
+    }
+    single_recall = len(single & true_planted) / len(true_planted)
+    assert single_recall < recall, (single_recall, recall)
+
+
 def test_bucketed_multiprobe_finds_planted_twin(spark):
     """The bucketed multi-probe variant (the clustered-corpus scale path):
     a planted exact-direction twin (cosine 1 → identical sign signature)
@@ -66,6 +116,36 @@ def test_minhash_lsh_leaves_no_cached_rdds(spark):
     pairs.count()  # materialize
     cached = spark.sparkContext._jsc.getPersistentRDDs()
     assert cached.size() == 0, f"{cached.size()} persistent RDDs left behind"
+
+
+def test_scratch_default_is_warehouse_relative_and_cleaned(spark):
+    """VERDICT r2 #3: the auto-created scratch dir must live under
+    spark.sql.warehouse.dir (a path real executors can read), never
+    driver-local /tmp, and must be registered for atexit cleanup."""
+    import os
+    import re
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh_local = re.sub("^file:/+", "/", wh)
+    before = set(D._SCRATCH_CLEANUP)
+
+    docs = D.augmented_docs(spark.read.parquet(f"{SF001}/documents.parquet"))
+    D.minhash_lsh_pairs(docs, threshold=0.6).count()
+    D.simhash_pairs(docs, max_hamming=6).count()
+
+    created = set(D._SCRATCH_CLEANUP) - before
+    assert len(created) == 2, f"expected 2 registered scratch dirs, got {created}"
+    for d in created:
+        assert d.startswith(wh_local.rstrip("/") + "/_scratch/"), d
+        assert os.path.isdir(d)
+        assert any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(d)
+            for f in fs
+        ), f"no scratch parquet under {d}"
+    D._cleanup_scratch()
+    assert not any(os.path.exists(d) for d in created)
+    assert not D._SCRATCH_CLEANUP
 
 
 def test_simhash_banding_is_exact_vs_all_pairs(spark):

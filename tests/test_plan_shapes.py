@@ -110,6 +110,21 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS bkt")
 
 
+def test_ann_multiprobe_has_no_global_oN_takeordered(spark):
+    """VERDICT r2 #2: the signature prescreen must be a map-side hamming
+    filter, not a global orderBy(ham).limit(n·frac) — the only TakeOrdered
+    in the plan is the final top-k with k=10, so no single-partition funnel
+    grows with the corpus."""
+    import re
+
+    plan = _plan(spark, "ann_multiprobe_topk")
+    limits = re.findall(r"TakeOrderedAndProject\(limit=(\d+)", plan)
+    assert limits, "expected the final top-k as TakeOrderedAndProject"
+    assert all(int(x) == 10 for x in limits), f"O(n)-k TakeOrdered present: {limits}"
+    # and no other global sort sneaks in (rangepartitioning = full sort)
+    assert "rangepartitioning" not in plan.lower(), plan[:800]
+
+
 def test_extraction_plan_has_exactly_one_shuffle(spark):
     """The flagship pipeline is map-only around ONE explicit shuffle (the
     salted repartition); any second Exchange would be a scale regression."""
