@@ -62,6 +62,7 @@ def cmd_submit(args) -> int:
         run_id=args.run_id,
         n_chunks=args.chunks,
         max_chunks=args.max_chunks,
+        single_pass=args.single_pass,
     )
     print(json.dumps(stats))
     return 0
@@ -224,6 +225,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--run-id", default="run-0001")
     s.add_argument("--chunks", type=int, default=4)
     s.add_argument("--max-chunks", type=int, default=None)
+    s.add_argument("--single-pass", action="store_true",
+                   help="write all pending chunks in one job (one input scan)")
     s.add_argument("--stream", action="store_true",
                    help="streaming ingestion (micro-batch commits) instead of chunked batch")
     s.add_argument("--checkpoint", help="streaming checkpoint dir (default under table)")

@@ -28,6 +28,7 @@ from __future__ import annotations
 import datetime as _dt
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -115,14 +116,30 @@ def run(
     num_partitions: int | None = None,
     salt_buckets: int | None = None,
     max_chunks: int | None = None,
+    single_pass: bool = False,
 ) -> dict:
     """Run (or resume) an extraction over ``pages`` into ``out_root``.
 
     ``max_chunks`` stops after committing that many chunks this invocation
     — the hook the kill/resume tests use to simulate a mid-job crash.
 
+    ``single_pass`` writes every pending chunk in ONE job (chunk id derived
+    as a column, write partitioned by it, per-chunk manifests committed
+    after) — the input is scanned once instead of once per chunk (VERDICT
+    r2 #5: the loop reads a 100-TB table n_chunks times). The per-chunk
+    loop remains the default: it is the resume/cancel-granular path, and
+    after a resume only the loop can skip committed chunks' extraction
+    cost. Crash semantics are identical — a chunk is visible iff its
+    manifest committed; a crash between the job and the commits leaves
+    orphan files that are invisible and re-extracted on resume.
+
     Returns run stats: {"chunks_done", "chunks_skipped", "docs", "seconds"}.
     """
+    if single_pass:
+        return _run_single_pass(
+            spark, pages, out_root, run_id, n_chunks, num_partitions,
+            salt_buckets, max_chunks,
+        )
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     os.makedirs(out_root, exist_ok=True)
@@ -168,6 +185,100 @@ def run(
             data_files,
             lin_files,
             schema_json=extracted.schema.jsonValue(),
+        )
+        stats["chunks_done"] += 1
+
+    stats["seconds"] = time.time() - t0
+    if stats["chunks_done"]:
+        lin = catalog.read_lineage(spark, out_root).filter(F.col("run_id") == run_id)
+        stats["docs"] = lin.agg(F.sum("doc_count")).collect()[0][0] or 0
+    return stats
+
+
+def _run_single_pass(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_root: str,
+    run_id: str,
+    n_chunks: int,
+    num_partitions: int | None,
+    salt_buckets: int | None,
+    max_chunks: int | None,
+) -> dict:
+    """One-scan variant of ``run`` (see its docstring): all pending chunks
+    extract and write in a single job, `partitionBy("chunk")` splits the
+    output into per-chunk directories, and each chunk then commits its own
+    atomic manifest (in chunk order). Rows, chunk membership, and resume
+    state are identical to the loop — chunk identity is a pure function of
+    the url, not of which job wrote it.
+
+    Write fan-out note: with partitionBy each task writes one file per
+    chunk it holds rows for (≤ num_partitions × n_chunks files) — the
+    standard partitioned-write trade, compactable via `catalog.compact`.
+    """
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    os.makedirs(out_root, exist_ok=True)
+    cancel_marker = os.path.join(out_root, f"_CANCEL-{run_id}")
+    done = catalog.committed_chunks(out_root, run_id)
+    pending = [c for c in range(n_chunks) if c not in done]
+    if max_chunks is not None:
+        pending = pending[:max_chunks]
+    stats = {
+        "chunks_done": 0,
+        "chunks_skipped": len(done),
+        "docs": 0,
+        "seconds": 0.0,
+        "single_pass": True,
+    }
+    t0 = time.time()
+    if not pending or os.path.exists(cancel_marker):
+        stats["cancelled"] = os.path.exists(cancel_marker)
+        stats["seconds"] = time.time() - t0
+        return stats
+
+    started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    chunk_expr = F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks))
+    todo = pages.filter(chunk_expr.isin([int(c) for c in pending]))
+    extracted = extract_pages(
+        salted_repartition(todo, num_partitions, salt_buckets)
+    ).withColumn("run_id", F.lit(run_id))
+    schema_json = extracted.schema.jsonValue()  # before the partition column
+    # fresh dir per invocation: committed manifests reference absolute file
+    # paths from earlier invocations — overwriting a shared dir on resume
+    # would delete committed data out from under the manifest
+    data_root = os.path.join(
+        out_root, "data", f"run={run_id}", f"singlepass-{uuid.uuid4().hex[:12]}"
+    )
+    # chunk becomes a directory (dropped from file contents — readers list
+    # leaf files explicitly under the table schema, exactly like loop-mode
+    # files); url sort within (partition, chunk) keeps row-group stats tight.
+    (
+        extracted.withColumn("chunk", chunk_expr)
+        .sortWithinPartitions("chunk", "url")
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(data_root)
+    )
+
+    for chunk in pending:
+        chunk_dir = os.path.join(data_root, f"chunk={chunk}")
+        data_files = catalog.list_parquet_files(chunk_dir)
+        lin_files: list[str] = []
+        if data_files:  # a pending chunk can be empty (no urls hash to it)
+            lineage = _lineage_from_written(spark, data_files, run_id, chunk, started)
+            lin_path = os.path.join(
+                out_root, "lineage", f"run={run_id}", f"chunk={chunk}"
+            )
+            lineage.coalesce(1).write.mode("overwrite").parquet(lin_path)
+            lin_files = catalog.list_parquet_files(lin_path)
+        catalog.commit_chunk(
+            out_root,
+            run_id,
+            chunk,
+            data_files,
+            lin_files,
+            schema_json=schema_json,
         )
         stats["chunks_done"] += 1
 

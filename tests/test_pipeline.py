@@ -43,6 +43,58 @@ def test_resume_exactly_once(spark, table_root):
     assert s3["chunks_done"] == 0 and s3["chunks_skipped"] == 3
 
 
+def test_single_pass_equals_loop(spark, table_root):
+    """single_pass=True (one input scan, partitionBy(chunk) write) must
+    produce byte-identical committed rows and the same resume state as the
+    per-chunk loop (VERDICT r2 #5)."""
+    import os
+
+    pages = generate_pages(spark, N, partitions=6)
+    loop_root = os.path.join(table_root, "loop")
+    sp_root = os.path.join(table_root, "sp")
+    s_loop = pipeline.run(spark, pages, loop_root, n_chunks=4, num_partitions=8)
+    s_sp = pipeline.run(
+        spark, pages, sp_root, n_chunks=4, num_partitions=8, single_pass=True
+    )
+    assert s_sp["chunks_done"] == s_loop["chunks_done"] == 4
+    assert s_sp["docs"] == s_loop["docs"] == N
+    a = {
+        r.url: (r.text, r.markdown)
+        for r in catalog.read_extracted(spark, loop_root).collect()
+    }
+    b = {
+        r.url: (r.text, r.markdown)
+        for r in catalog.read_extracted(spark, sp_root).collect()
+    }
+    assert a == b
+    # lineage exists per chunk and counts agree
+    lin = catalog.read_lineage(spark, sp_root)
+    assert {r.chunk_id for r in lin.select("chunk_id").distinct().collect()} == {0, 1, 2, 3}
+    assert lin.agg(F.sum("doc_count")).collect()[0][0] == N
+
+
+def test_single_pass_resumes_loop_run_and_vice_versa(spark, table_root):
+    """Chunk identity is a pure function of the url, so a crashed loop run
+    resumes under single_pass (and back) exactly once per url."""
+    pages = generate_pages(spark, N, partitions=6)
+    s1 = pipeline.run(spark, pages, table_root, n_chunks=3, max_chunks=1, num_partitions=8)
+    assert s1["chunks_done"] == 1
+    s2 = pipeline.run(
+        spark, pages, table_root, n_chunks=3, num_partitions=8, single_pass=True
+    )
+    assert s2["chunks_skipped"] == 1 and s2["chunks_done"] == 2
+    ext = catalog.read_extracted(spark, table_root)
+    assert ext.count() == N
+    assert ext.select("url").distinct().count() == N
+    # idempotent rerun in either mode: nothing recomputed
+    s3 = pipeline.run(
+        spark, pages, table_root, n_chunks=3, num_partitions=8, single_pass=True
+    )
+    assert s3["chunks_done"] == 0 and s3["chunks_skipped"] == 3
+    s4 = pipeline.run(spark, pages, table_root, n_chunks=3, num_partitions=8)
+    assert s4["chunks_done"] == 0 and s4["chunks_skipped"] == 3
+
+
 def test_crash_mid_chunk_invisible(spark, table_root):
     """Files written without a manifest commit must be invisible to readers."""
     import os
