@@ -58,10 +58,86 @@ def test_engines_agree_on_corpus():
         "<article><header><h1>inner chrome in article</h1></header><p>body</p></article>",
         "<div title='<p>tag soup in attr</p>'>attr soup</div><p>next</p>",
         "<p>trailing unterminated entity &am",
+        # round 3 (VERDICT r2 #6): entity edge cases beyond &amp;/&lt;/&gt;,
+        # deeply nested tables, inline-tag-split text runs
+        "<p>non-breaking&nbsp;space and &NBSP; unknown-case</p>",
+        "<p>decimal &#169; hex &#xA9; no-semicolon &#169 mixed</p>",
+        "<p>cp1252 remaps: &#150; &#128; &#159;</p>",
+        "<p>null &#0; surrogate &#xD800; overflow &#x110000;</p>",
+        "<p>unknown entities &foobar; &qqq stay literal</p>",
+        "<p>no-semicolon named &amp &lt &gt &copy done</p>",
+        "<p>&lt;div&gt;escaped markup&lt;/div&gt; renders as text</p>",
+        "<p>ambiguous &ampx; &amp;x; &not-it; &notit;</p>",
+        "<p>&#38;#38; double-escaped stays &amp;#38;</p>",
+        "<p>sp<b>li</b>t wo<i>r</i>ds stay one run</p>",
+        "<p>a<b></b>b empty inline</p>",
+        "<p>tail <b>bold</b>then no space</p>",
+        "<table><tr><td><table><tr><td><p>inner cell</p></td></tr></table>"
+        "</td></tr><tr><td>outer</td></tr></table>",
+        "<table><thead><tr><th>h1</th></tr></thead><tbody><tr>"
+        "<td colspan=2>body &amp; cell</td></tr></tbody>"
+        "<tfoot><tr><td>foot</td></tr></tfoot></table>",
     ],
 )
 def test_engines_agree_on_adversarial(snippet):
     assert _sig(parse_blocks(snippet, "fast")) == _sig(parse_blocks(snippet, "stdlib"))
+
+
+def test_adversarial_corpus_matches_oracle_runner(spark, tmp_path):
+    """Full-pipeline byte-identity on the adversarial corpus: the Spark
+    mapInArrow path (fast engine, salted repartition) must equal the
+    single-process oracle runner byte-for-byte per url — entities, nested
+    tables, and split runs included (VERDICT r2 #6)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mistral_ocr_spark.operators.extract import extract_pages
+    from mistral_ocr_spark.oracle import run_oracle
+    from mistral_ocr_spark.pipeline import salted_repartition
+
+    snippets = [
+        p[0] if isinstance(p, tuple) else p
+        for p in test_engines_agree_on_adversarial.pytestmark[0].args[1]
+    ]
+    # wrap each snippet in enough real content that classification keeps it
+    body = "<article>{}<p>Padding sentence with enough ordinary words to keep \
+the article body classified as content for this page.</p></article>"
+    urls = [f"https://adv.example.com/case-{i}.html" for i in range(len(snippets))]
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([None] * len(urls), pa.timestamp("us")),
+            "html": pa.array(
+                [body.format(s).encode("utf-8") for s in snippets], pa.binary()
+            ),
+            "text": pa.array([None] * len(urls), pa.string()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        }
+    )
+    pq.write_table(pages, f"{tmp_path}/pages.parquet")
+    n = run_oracle(f"{tmp_path}/pages.parquet", f"{tmp_path}/golden.parquet")
+    assert n == len(snippets)
+    g = pq.read_table(f"{tmp_path}/golden.parquet")
+    golden = {
+        u: (t, m)
+        for u, t, m in zip(
+            g.column("url").to_pylist(),
+            g.column("text").to_pylist(),
+            g.column("markdown").to_pylist(),
+        )
+    }
+    ext = extract_pages(
+        salted_repartition(
+            spark.read.schema(
+                "url string, warc_ts timestamp, html binary, text string, lang string"
+            ).parquet(f"{tmp_path}/pages.parquet"),
+            4,
+        )
+    )
+    bad = [
+        r.url for r in ext.collect() if golden[r.url] != (r.text, r.markdown)
+    ]
+    assert not bad, f"byte-identity broken on adversarial rows: {bad[:5]}"
 
 
 def test_engines_agree_on_hard_quality_corpus():
