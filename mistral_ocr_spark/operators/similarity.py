@@ -1,15 +1,21 @@
 """Similarity search over an embedding column (array<float>).
 
-Three tiers:
+Four tiers:
 - ``brute_force_topk`` — exact baseline, pure built-in expressions
   (``zip_with`` + ``aggregate``, JVM-side).
 - ``lsh_topk`` / ``embedding_near_dup_lsh`` — random-hyperplane bucketed
   variants (bucket join instead of the O(n·q) cross product), with
-  bit-flip multi-probing; best on clustered corpora (near-dup retrieval).
-- ``signature_rerank_topk`` — hamming-ordered multi-probe: a 128-bit
-  signature prescreen (numpy matmul kernel) ranks every vector by
-  signature distance, and only the best slice is exact-reranked. The
+  bit-flip multi-probing / multi-table OR-ing; best on clustered corpora
+  (near-dup retrieval).
+- ``signature_rerank_topk`` — hamming-threshold multi-probe: a 128-bit
+  signature prescreen (numpy matmul kernel) map-side-filters every vector
+  by signature distance, and only survivors are exact-reranked. The
   prescreen scans 16 B/vector instead of the raw dim·4 B.
+- ``ivf_index`` / ``ivf_topk`` — inverted-file index: a deterministic
+  k-means coarse quantizer partitions the corpus into posting lists
+  (written ``partitionBy(centroid_id)``); a query probes the ``nprobe``
+  nearest lists and the probe join prunes PARTITIONS at the storage layer
+  — the 10^12-vector design (read nprobe/n_centroids of the table).
 
 Scale notes: at 10^9+ vectors the brute-force path is only for reranking
 candidate slices; the bucketed joins shuffle each side once on the bucket
@@ -281,6 +287,151 @@ def signature_rerank_topk(
     # corpus) the survivor set is a large fraction of the table and must
     # shuffle-join — forcing broadcast here would OOM the driver at scale.
     cand = embeddings.join(cand_ids, "vec_id").crossJoin(F.broadcast(q_vec))
+    return (
+        cand.select(
+            "vec_id", F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _assign_centroids(
+    embeddings: DataFrame, centroids: np.ndarray, vec_col: str
+) -> DataFrame:
+    """(vec_id, centroid_id): nearest-centroid assignment as ONE vectorized
+    numpy matmul per Arrow batch (normalized dot = cosine argmax) — the
+    signature-kernel pattern; centroids ship in the closure (k·dim floats,
+    metadata-sized)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            cid = (Vn @ Cn.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "centroid_id": cid})
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.IntegerType()),
+        ]
+    )
+    return embeddings.select("vec_id", vec_col).mapInPandas(fn, schema)
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: Lloyd's k-means over spherical
+    (cosine) distance, trained with distributed jobs — assignment is the
+    vectorized kernel above; the centroid update is a (centroid, dim)
+    grouped mean via posexplode, k·dim rows total (metadata-sized, the only
+    thing the driver ever holds). Init picks the ``n_centroids`` vectors
+    with the smallest ``xxhash64(vec_id, seed)`` — a seeded, data-
+    independent sample that is identical on any cluster size (O5
+    determinism). Empty clusters keep their previous centroid.
+    """
+    k_init = (
+        embeddings.select("vec_id", vec_col)
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in k_init])
+    for _ in range(n_iters):
+        assigned = _assign_centroids(embeddings, C, vec_col)
+        sums = (
+            embeddings.join(assigned, "vec_id")
+            .select("centroid_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        C = C.copy()
+        for r in sums:
+            C[r.centroid_id, r.pos] = r.m
+    return C
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> np.ndarray:
+    """Build and persist the IVF index: the posting table
+    (vec_id, vector, centroid_id) written ``partitionBy(centroid_id)`` so a
+    query's probe filter PRUNES PARTITIONS — a search touches
+    nprobe/n_centroids of the data at the storage layer, the property that
+    makes IVF the 10^12-vector path (plan-asserted:
+    tests/test_dedup_similarity.py::test_ivf_search_prunes_partitions).
+    Returns the trained centroids (k·dim, metadata-sized — production would
+    persist them beside the index)."""
+    C = ivf_train(embeddings, n_centroids, n_iters, vec_col, seed)
+    assigned = _assign_centroids(embeddings, C, vec_col)
+    (
+        embeddings.join(assigned, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(index_dir)
+    )
+    return C
+
+
+def ivf_topk(
+    spark,
+    index_dir: str,
+    centroids: np.ndarray,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids by cosine to the query (k_c rows — a
+    broadcast-sized plan, no driver collect), take the ``nprobe`` best, and
+    exact-rerank ONLY the posting-list partitions those probes select.
+
+    The probe list is joined against the index's ``centroid_id`` partition
+    column, so the parquet scan prunes to nprobe directories — at 10^12
+    vectors with 65k centroids and nprobe=64, ~0.1% of the table is read.
+    Recall follows the probe budget (measured on the near-uniform fixture:
+    see the recall test); raise ``nprobe`` toward n_centroids for exact.
+    """
+    idx = spark.read.parquet(index_dir)
+    q_vec = (
+        idx.filter(F.col("vec_id") == query_id)
+        .select(F.col(vec_col).alias("q_vec"))
+        .limit(1)
+    )
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cents = spark.createDataFrame(cent_rows, "centroid_id int, c_vec array<double>")
+    probes = (
+        cents.crossJoin(F.broadcast(q_vec))
+        .select("centroid_id", cosine(F.col("c_vec"), F.col("q_vec")).alias("c_sim"))
+        .orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    cand = (
+        idx.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q_vec))
+    )
     return (
         cand.select(
             "vec_id", F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim")

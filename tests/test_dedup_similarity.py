@@ -118,6 +118,72 @@ def test_minhash_lsh_leaves_no_cached_rdds(spark):
     assert cached.size() == 0, f"{cached.size()} persistent RDDs left behind"
 
 
+def test_ivf_recall_and_probe_budget(spark, tmp_path):
+    """IVF (k-means coarse quantizer + nprobe search): recall@10 vs exact
+    brute force rises with the probe budget and reaches 1.0 at
+    nprobe = n_centroids (every list scanned = exact)."""
+    emb = _emb(spark, SF01)
+    C = S.ivf_index(emb, str(tmp_path / "ivf"), n_centroids=16, n_iters=4)
+    assert C.shape == (16, 64)
+    recalls = {}
+    for nprobe in (4, 16):
+        got = []
+        for qid in (0, 7, 42):
+            exact = {r.vec_id for r in S.brute_force_topk(emb, qid, k=10).collect()}
+            approx = {
+                r.vec_id
+                for r in S.ivf_topk(spark, str(tmp_path / "ivf"), C, qid, k=10, nprobe=nprobe).collect()
+            }
+            got.append(len(exact & approx) / 10)
+        recalls[nprobe] = sum(got) / len(got)
+    assert recalls[16] == 1.0, recalls  # all lists scanned = exact
+    # Near-uniform corpus is IVF's worst case: recall ~ probe fraction
+    # (the query's own list is always probed, so strictly above it).
+    assert recalls[4] >= 0.25, recalls
+    assert recalls[4] <= recalls[16]
+
+
+def test_ivf_finds_clustered_neighbors_at_tiny_nprobe(spark, tmp_path):
+    """IVF's design case — clustered data: a perturbed twin (cos 0.92-0.99)
+    lands in the same Voronoi cell as its base almost surely, so nprobe=2
+    must surface it as the top hit while reading 2/16 of the table."""
+    aug = _perturbed_embeddings(spark, SF001)
+    C = S.ivf_index(aug, str(tmp_path / "ivf"), n_centroids=16, n_iters=3, vec_col="emb")
+    hits = 0
+    qids = (0, 7, 42, 111, 303)
+    for qid in qids:
+        rows = S.ivf_topk(
+            spark, str(tmp_path / "ivf"), C, qid, k=3, nprobe=2, vec_col="emb"
+        ).collect()
+        hits += any(r.vec_id == qid + 100000 for r in rows)
+    assert hits >= len(qids) - 1, f"planted twin found for only {hits}/{len(qids)} queries"
+
+
+def test_ivf_search_prunes_partitions(spark, tmp_path):
+    """The IVF point at 10^12 vectors: the probe join must reach the scan as
+    a partition filter (dynamic partition pruning over the centroid_id
+    directory layout), so a search reads nprobe/n_centroids of the table."""
+    emb = _emb(spark, SF001)
+    C = S.ivf_index(emb, str(tmp_path / "ivf"), n_centroids=8, n_iters=2)
+    df = S.ivf_topk(spark, str(tmp_path / "ivf"), C, query_id=0, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(centroid_id" in plan, (
+        f"probe filter not pushed to partition pruning:\n{plan[:1200]}"
+    )
+    assert df.count() == 5
+
+
+def test_ivf_train_deterministic_across_parallelism(spark):
+    """Seeded init + mean updates: identical centroids at different input
+    partitionings (the O5 determinism contract)."""
+    import numpy as np
+
+    emb = _emb(spark, SF001)
+    c1 = S.ivf_train(emb.repartition(2), n_centroids=8, n_iters=2)
+    c2 = S.ivf_train(emb.repartition(13), n_centroids=8, n_iters=2)
+    assert np.allclose(c1, c2, atol=1e-9)
+
+
 def test_scratch_default_is_warehouse_relative_and_cleaned(spark):
     """VERDICT r2 #3: the auto-created scratch dir must live under
     spark.sql.warehouse.dir (a path real executors can read), never
