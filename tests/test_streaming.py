@@ -214,3 +214,88 @@ def test_streaming_commits_into_catalog(spark):
     assert len(chunks) >= 2
 
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_dedup_across_invocations(spark):
+    """dropDuplicates state survives restarts: a fingerprint emitted in
+    invocation 1 must be suppressed when it re-arrives in invocation 2,
+    and duplicates inside one batch collapse to one row."""
+    from pyspark.sql import functions as F
+
+    from mistral_ocr_spark.streaming.dedup import dedup_stream, read_deduped
+
+    base = tempfile.mkdtemp(prefix="ocr_sdedup_")
+    pages_dir, out_dir, ckpt = f"{base}/pages", f"{base}/out", f"{base}/ckpt"
+
+    first = generate_pages(spark, 300, partitions=2)
+    # plant in-batch duplicates: same text under new urls
+    dupes = first.limit(50).selectExpr(
+        "concat(url, '?dup') AS url", "warc_ts", "html", "text", "lang"
+    )
+    first.unionAll(dupes).write.mode("append").parquet(pages_dir)
+    dedup_stream(spark, pages_dir, out_dir, ckpt)
+    out1 = read_deduped(spark, out_dir)
+    n1 = out1.count()
+    assert n1 == out1.select("fingerprint").distinct().count()
+    distinct_first = (
+        generate_pages(spark, 300, partitions=2)
+        .select(F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("f"))
+        .distinct()
+        .count()
+    )
+    assert n1 == distinct_first
+
+    # invocation 2: 100 replayed duplicates + 100 genuinely new docs
+    second_dupes = first.limit(100).selectExpr(
+        "concat(url, '?r2') AS url", "warc_ts", "html", "text", "lang"
+    )
+    fresh = generate_pages(spark, 400, partitions=1).filter(
+        ~F.col("url").isin([r.url for r in first.select("url").collect()])
+    )
+    second_dupes.unionAll(fresh).write.mode("append").parquet(pages_dir)
+    dedup_stream(spark, pages_dir, out_dir, ckpt)
+
+    out2 = read_deduped(spark, out_dir)
+    assert out2.count() == out2.select("fingerprint").distinct().count()
+    all_distinct = (
+        spark.read.parquet(pages_dir)
+        .select(F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("f"))
+        .distinct()
+        .count()
+    )
+    assert out2.count() == all_distinct  # exactly one row per fingerprint ever
+
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_dedup_within_watermark_bounds_state(spark):
+    """The bounded-state variant: duplicates arriving inside the watermark
+    horizon are suppressed; the stream runs with event-time state eviction
+    (the 10^12-row shape — state O(horizon), not O(corpus))."""
+    from pyspark.sql import functions as F
+
+    from mistral_ocr_spark.streaming.dedup import dedup_stream, read_deduped
+
+    base = tempfile.mkdtemp(prefix="ocr_sdedup_wm_")
+    pages_dir, out_dir, ckpt = f"{base}/pages", f"{base}/out", f"{base}/ckpt"
+
+    pages = generate_pages(spark, 200, partitions=2)
+    dupes = pages.limit(60).selectExpr(
+        "concat(url, '?dup') AS url",
+        "warc_ts + INTERVAL 10 MINUTES AS warc_ts",  # inside the horizon
+        "html", "text", "lang",
+    )
+    pages.unionAll(dupes).write.mode("append").parquet(pages_dir)
+    dedup_stream(spark, pages_dir, out_dir, ckpt, within_watermark="1 hour")
+
+    out = read_deduped(spark, out_dir)
+    expected = (
+        spark.read.parquet(pages_dir)
+        .select(F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("f"))
+        .distinct()
+        .count()
+    )
+    assert out.count() == expected
+    assert out.select("fingerprint").distinct().count() == expected
+
+    shutil.rmtree(base, ignore_errors=True)
