@@ -86,6 +86,97 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("out_payload", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_pixels(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Real resample path — requires an image codec library.
+
+    STUB: not available in this container (same policy as decode_image)."""
+    raise NotImplementedError("no image codec in this environment; use fake_resize")
+
+
+def fake_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Deterministic fake resample: output bytes are a pure function of
+    (payload, out dims) with length out_w*out_h//64 — size-realistic
+    plumbing (the shuffle/write cost of a resize stage is its byte volume)
+    while staying byte-reproducible for tests."""
+    n = max(1, (out_w * out_h) // 64)
+    seed = hashlib.md5(payload + f"{out_w}x{out_h}".encode()).digest()
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Bound both dimensions to ``max_dim`` preserving aspect ratio — the
+    training-data normalization step before vision-encoder batching. Scale
+    arithmetic is integer-exact (floor((d*max_dim)/longest), min 1) so the
+    DuckDB oracle reproduces it; one Arrow batch per JVM→Python crossing."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "width", "height", "out_width", "out_height", "out_payload")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h = fake_decode(payload)
+                longest = max(w, h)
+                if longest <= max_dim:
+                    ow, oh = w, h
+                else:
+                    ow = max(1, (w * max_dim) // longest)
+                    oh = max(1, (h * max_dim) // longest)
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["out_payload"].append(fake_resize(payload, ow, oh))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(fn, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_len", T.IntegerType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 1024, every: int = 2) -> DataFrame:
+    """Frame sampling for video-like payloads: the payload is a
+    concatenation of fixed-size frames (``frame_bytes``); emit every
+    ``every``-th frame's (index, length, md5). The 1→N output shape is the
+    point — a mapInPandas stage whose output rows fan out from input rows
+    (the decode-then-sample plan at scale), with the frame slicing
+    reproducible in ANSI SQL (substring on the blob) for the value oracle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_idx", "frame_len", "frame_md5")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = max(1, -(-len(payload) // frame_bytes))
+                for idx in range(0, n_frames, every):
+                    fr = payload[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_len"].append(len(fr))
+                    rows["frame_md5"].append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(fn, FRAMES_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize a media table from documents (text bytes as payload) —
     the fixture path; at production the payload column comes from WARC."""
