@@ -16,6 +16,6 @@ Design tenets (scale-first):
   covering data + lineage, so a killed job resumes exactly-once per url.
 """
 
-EXTRACTOR_VERSION = "1.2.1"  # 1.2.1: PDF text-state operands no longer leak into TJ kerning
+EXTRACTOR_VERSION = "1.3.0"  # 1.3.0: PDF page-tree ordering (catalog/Kids walk, ObjStm); 1.2.1: TJ kern fix
 
 __all__ = ["EXTRACTOR_VERSION"]

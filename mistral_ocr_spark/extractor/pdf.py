@@ -14,13 +14,20 @@ implemented directly (PDF 32000-1 §9.4 text objects):
   object (newline-joined in the output);
 - literal strings with all escape forms (named, octal, line continuation)
   and ``<hex>`` strings;
-- ``FlateDecode``-compressed content streams (inflated before scanning).
+- ``FlateDecode``-compressed content streams (inflated before scanning);
+- document structure (since 1.3.0): catalog → /Pages tree walk so content
+  reads in PAGE order even when objects are stored out of byte order
+  (incremental updates, linearized files), /Contents arrays re-assembled
+  per page, and PDF 1.5 object streams (/ObjStm) expanded; byte-order
+  fallback when no catalog resolves.
 
 Anything without extractable text objects is surfaced as
 ``error_class='unsupported_pdf'`` (per-row error capture, the analog of the
 reference's error_files side channel, simple_client.py:630-664). Out of
 scope (documented, not silently wrong): nested unescaped parens in literal
-strings, non-Flate filters, CID/Type0 font decoding (bytes decode latin-1).
+strings, non-Flate filters, CID/Type0 font decoding (bytes decode latin-1),
+cross-reference STREAM decoding (the object scan makes it unnecessary for
+in-memory extraction).
 """
 
 from __future__ import annotations
@@ -157,15 +164,151 @@ def _render_text_object(body: bytes) -> str:
     return "\n".join(lines)
 
 
+# ---------------------------------------------------------------------------
+# Document structure: object index → catalog → page tree → per-page content
+# ---------------------------------------------------------------------------
+# Objects are indexed by scanning `N G obj … endobj` markers instead of
+# following the xref table: in-memory parsing doesn't need random access,
+# and crawled PDFs routinely carry broken/truncated xrefs while the object
+# bodies are intact (the xref's only unique job — locating the trailer's
+# /Root — is done by scanning for the /Root ref directly). PDF 1.5 object
+# streams (/Type /ObjStm: objects packed inside a Flate stream) are
+# expanded into the index so page nodes stored compressed still resolve.
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+
+
+def _stream_data(body: bytes) -> bytes | None:
+    """The (inflated, if Flate) stream payload of one object body. The EOL
+    preceding ``endstream`` is a delimiter, not data (PDF 32000-1 §7.3.8),
+    so exactly one trailing EOL is stripped from uncompressed payloads."""
+    m = _STREAM_RE.search(body)
+    if not m:
+        return None
+    data = m.group(1)
+    if data[:1] == b"\x78":  # zlib magic
+        try:
+            return zlib.decompressobj().decompress(data)
+        except zlib.error:
+            return None
+    if data.endswith(b"\r\n"):
+        return data[:-2]
+    if data.endswith((b"\n", b"\r")):
+        return data[:-1]
+    return data
+
+
+def _dict_int(body: bytes, key: bytes) -> int | None:
+    m = re.search(key + rb"\s+(\d+)", body)
+    return int(m.group(1)) if m else None
+
+
+def _object_index(raw: bytes) -> dict[int, bytes]:
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(raw):
+        objs[int(m.group(1))] = m.group(2)
+    for body in [b for b in objs.values() if b"/ObjStm" in b]:
+        data = _stream_data(body)
+        n, first = _dict_int(body, rb"/N"), _dict_int(body, rb"/First")
+        if data is None or not n or first is None:
+            continue
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
+        for i, (onum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+            objs.setdefault(onum, data[first + off : first + end])
+    return objs
+
+
+def _ref(body: bytes, key: bytes) -> int | None:
+    m = re.search(key + rb"\s+(\d+)\s+\d+\s+R", body)
+    return int(m.group(1)) if m else None
+
+
+def _ref_array(body: bytes, key: bytes) -> list[int] | None:
+    """``/Key [1 0 R 2 0 R]`` or ``/Key 3 0 R`` → object numbers in order."""
+    m = re.search(key + rb"\s*\[(.*?)\]", body, re.DOTALL)
+    if m:
+        return [int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))]
+    single = _ref(body, key)
+    return [single] if single is not None else None
+
+
+def _page_contents_in_order(raw: bytes) -> list[bytes] | None:
+    """Per-page content bytes in PAGE-TREE order, or None when the document
+    carries no resolvable catalog/page tree (minimal fixtures, damaged
+    files) — the caller then falls back to byte-order scanning."""
+    root_m = _ROOT_RE.search(raw)
+    if not root_m:
+        return None
+    objs = _object_index(raw)
+    catalog = objs.get(int(root_m.group(1)))
+    if catalog is None:
+        return None
+    pages_ref = _ref(catalog, rb"/Pages")
+    if pages_ref is None:
+        return None
+
+    page_objs: list[bytes] = []
+    seen: set[int] = set()
+
+    def walk(num: int, depth: int = 0) -> None:
+        if num in seen or depth > 64:  # cycle/bomb guard
+            return
+        seen.add(num)
+        node = objs.get(num)
+        if node is None:
+            return
+        if re.search(rb"/Type\s*/Page\b(?!s)", node):
+            page_objs.append(node)
+            return
+        for kid in _ref_array(node, rb"/Kids") or []:
+            walk(kid, depth + 1)
+
+    walk(pages_ref)
+    if not page_objs:
+        return None
+    out: list[bytes] = []
+    for page in page_objs:
+        parts = [
+            _stream_data(objs[c]) or b""
+            for c in _ref_array(page, rb"/Contents") or []
+            if c in objs
+        ]
+        # a /Contents array is ONE logical stream split arbitrarily —
+        # concatenation (newline-joined) restores it
+        out.append(b"\n".join(parts))
+    return out
+
+
 def extract_pdf_text(raw: bytes) -> list[str] | None:
     """Extract text-object content; one output string per BT/ET object
     (lines within an object newline-joined).
 
-    Handles plain and FlateDecode-compressed content streams. Returns None
-    when no text objects are found (→ unsupported_pdf).
+    When the document carries a resolvable catalog → page tree (real-world
+    PDFs), content streams are assembled PER PAGE and scanned in page-tree
+    order — objects stored out of byte order (incremental updates, linearized
+    files, object streams) still read in page order. Without one (minimal
+    or damaged files), falls back to scanning every stream in byte order.
+    Handles plain and FlateDecode-compressed content streams and PDF 1.5
+    object streams. Returns None when no text objects are found
+    (→ unsupported_pdf).
     """
+    pages = _page_contents_in_order(raw)
+    if pages is not None:
+        paragraphs = []
+        for content in pages:
+            for obj in _BT_ET_RE.finditer(content):
+                text = _render_text_object(obj.group(1))
+                if text:
+                    paragraphs.append(text)
+        if paragraphs:
+            return paragraphs
     raw = _inflate_streams(raw)
-    paragraphs: list[str] = []
+    paragraphs = []
     for obj in _BT_ET_RE.finditer(raw):
         text = _render_text_object(obj.group(1))
         if text:

@@ -190,6 +190,99 @@ def test_pdf_hex_strings_and_kerning():
     assert extract_pdf_text(pdf) == ["Hello", "Table cell"]
 
 
+def _pdf_obj(num: int, body: bytes) -> bytes:
+    return b"%d 0 obj\n" % num + body + b"\nendobj\n"
+
+
+def _pdf_stream_obj(num: int, data: bytes, extra: bytes = b"") -> bytes:
+    return _pdf_obj(
+        num,
+        b"<< /Length %d %s >>\nstream\n" % (len(data), extra) + data + b"\nendstream",
+    )
+
+
+def test_pdf_page_tree_orders_out_of_order_objects():
+    """Objects stored out of byte order (incremental updates / linearized
+    files) must read in PAGE-TREE order, not byte order."""
+    # page 2's content object comes FIRST in the file
+    pdf = (
+        b"%PDF-1.5\n"
+        + _pdf_stream_obj(6, b"BT (page two) Tj ET")
+        + _pdf_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _pdf_obj(2, b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>")
+        + _pdf_obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+        + _pdf_stream_obj(4, b"BT (page one) Tj ET")
+        + _pdf_obj(5, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>")
+        + b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == ["page one", "page two"]
+    # byte-order fallback (no /Root) would give the reverse:
+    no_root = pdf.replace(b"/Root 1 0 R", b"/Size 7")
+    assert extract_pdf_text(no_root) == ["page two", "page one"]
+
+
+def test_pdf_contents_array_and_nested_pages_tree():
+    """A /Contents array is one logical stream split between lexical tokens
+    (PDF 32000-1 §7.8.2) — a BT/ET text object may span the split; /Kids
+    may nest intermediate /Pages nodes."""
+    pdf = (
+        b"%PDF-1.5\n"
+        + _pdf_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _pdf_obj(2, b"<< /Type /Pages /Kids [7 0 R 5 0 R] /Count 2 >>")
+        + _pdf_obj(7, b"<< /Type /Pages /Parent 2 0 R /Kids [3 0 R] /Count 1 >>")
+        + _pdf_obj(3, b"<< /Type /Page /Parent 7 0 R /Contents [4 0 R 6 0 R] >>")
+        + _pdf_stream_obj(4, b"BT (split) Tj")
+        + _pdf_stream_obj(6, b"( across streams) Tj ET")
+        + _pdf_obj(5, b"<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>")
+        + _pdf_stream_obj(8, b"BT (second leaf) Tj ET")
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == ["split across streams", "second leaf"]
+
+
+def test_pdf_flate_page_content_and_objstm_page_node():
+    """PDF 1.5: the page NODE lives inside a compressed object stream
+    (/ObjStm) and its content stream is FlateDecode — both must resolve."""
+    import zlib
+
+    page_node = b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    objstm_payload = b"3 0 " + page_node
+    objstm = zlib.compress(objstm_payload)
+    content = zlib.compress(b"BT (compressed page) Tj ET")
+    pdf = (
+        b"%PDF-1.5\n"
+        + _pdf_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _pdf_obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        + _pdf_obj(
+            5,
+            b"<< /Type /ObjStm /N 1 /First 4 /Length %d /Filter /FlateDecode >>\nstream\n"
+            % len(objstm)
+            + objstm
+            + b"\nendstream",
+        )
+        + _pdf_obj(
+            4,
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+            + content
+            + b"\nendstream",
+        )
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == ["compressed page"]
+
+
+def test_pdf_cyclic_page_tree_is_safe():
+    pdf = (
+        b"%PDF-1.5\n"
+        + _pdf_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _pdf_obj(2, b"<< /Type /Pages /Kids [2 0 R 3 0 R] /Count 1 >>")  # self-cycle
+        + _pdf_obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+        + _pdf_stream_obj(4, b"BT (survives cycles) Tj ET")
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == ["survives cycles"]
+
+
 def test_pdf_text_state_operands_are_not_kern_gaps():
     """Tc/Tw/TL/Tz/Ts/Tr operands must not leak into a following TJ as kern
     values (ADVICE r2: '-250 Tw [(a) (b)] TJ' injected a spurious leading
