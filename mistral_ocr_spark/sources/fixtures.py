@@ -150,6 +150,32 @@ def _make_page(
                 + _z.compress(content)
                 + b"\nendstream\nendobj\n"
             )
+        elif i % 3 == 1:
+            # page-tree variant: catalog → Pages → 2 leaf pages, with page
+            # 2's content object stored FIRST in the file — reads correctly
+            # only through the page-tree walk (extractor 1.3.0). The
+            # paragraph list is identical to the single-stream variant, so
+            # goldens are unchanged while the structure path is exercised
+            # end-to-end through the distributed pipeline.
+            page1, page2 = content.split(b"\n", 1)
+
+            def _sobj(num: int, data: bytes) -> bytes:
+                return (
+                    b"%d 0 obj\n<< /Length %d >>\nstream\n" % (num, len(data))
+                    + data
+                    + b"\nendstream\nendobj\n"
+                )
+
+            pdf = (
+                b"%PDF-1.5\n"
+                + _sobj(6, page2)
+                + b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+                + b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>\nendobj\n"
+                + b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+                + _sobj(4, page1)
+                + b"5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n"
+                + b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+            )
         else:
             pdf = b"%PDF-1.4\n1 0 obj\n" + content + b"\nendobj\n"
         return url, pdf, None, lang
