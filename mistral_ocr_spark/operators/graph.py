@@ -1,0 +1,153 @@
+"""Connected components over near-duplicate pair lists — the cluster-forming
+step a 100-TB dedup pipeline needs between "emit similar pairs" and "keep one
+document per duplicate group" (pairs alone under-delete: A~B and B~C must
+collapse A,B,C to ONE keeper even when A~C was never emitted).
+
+Implementation: alternating large-star / small-star, the MapReduce-native
+connected-components algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014 — public literature). Both steps are pure
+relational operators (self-join on the node id + min-aggregate), so each
+round is two shuffles and NO per-node adjacency list is ever materialized —
+a node of degree 10^9 (a boilerplate page duplicated across a crawl) never
+concentrates on one task the way a groupBy+collect_list formulation would.
+Rounds converge in O(log^2 n) on any graph (near-dup graphs here have tiny
+diameter, so 2-4 rounds in practice).
+
+Each round re-materializes the edge frontier to a scratch parquet table
+(``dedup.scratch_table_dir`` — warehouse-relative, cluster-valid) instead of
+growing one lineage chain: iteration K's plan would otherwise nest K joins
+deep, and Catalyst re-optimization cost grows superlinearly with that. The
+loop-over-jobs pattern is the same one Spark's own GraphFrames CC uses.
+
+Reference parity note: stevegsax/mistral-ocr has no graph operator; this is
+part of the training-data-pipeline surface (brief: dedup at scale) built on
+top of the near-dup pair generators in operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mistral_ocr_spark.operators.dedup import scratch_table_dir
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge list → canonical directed form (big -> small), self
+    loops dropped, exact duplicates removed."""
+    u = F.greatest("src", "dst").alias("u")
+    v = F.least("src", "dst").alias("v")
+    return edges.select(u, v).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) for every neighbor v > u gets re-pointed at min(N(u) ∪ {u}).
+
+    Relational form: symmetrize, per-node min via aggregate (never a
+    neighbor list), join back, emit (bigger-neighbor -> min).
+    """
+    sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    mins = sym.groupBy("a").agg(F.min("b").alias("_mb")).select(
+        "a", F.least("_mb", "a").alias("m")
+    )
+    out = (
+        sym.filter(F.col("b") > F.col("a"))
+        .join(mins, "a")
+        .select(F.col("b").alias("src"), F.col("m").alias("dst"))
+    )
+    return _canonical(out)
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges big->small; per big node, point every small neighbor
+    (and the node itself) at the minimum small neighbor."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    j = edges.join(mins, "u")
+    out = j.select(F.col("v").alias("src"), F.col("m").alias("dst")).unionAll(
+        j.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    )
+    return _canonical(out)
+
+
+def _frontier_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """Order-insensitive (count, checksum) of the edge set — the convergence
+    test. One tiny all-reduce per round."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Cluster an undirected pair list; returns (node, cluster_id) where
+    cluster_id is the component's minimum node id (deterministic label).
+
+    ``pairs``: DataFrame with two id columns (near-dup pairs from
+    operators/dedup.py / operators/similarity.py).
+    ``nodes``: optional one-column corpus node list; nodes with no pair
+    become singleton clusters (cluster_id = own id). Without it, only nodes
+    appearing in pairs are labeled.
+    """
+    spark = pairs.sparkSession
+    if scratch_dir is None:
+        scratch_dir = scratch_table_dir(spark)
+
+    edges = _canonical(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    )
+    path = os.path.join(scratch_dir, "cc_frontier_0.parquet")
+    edges.write.mode("overwrite").parquet(path)
+    edges = spark.read.parquet(path)
+    fp = _frontier_fingerprint(edges)
+
+    for rnd in range(1, max_rounds + 1):
+        nxt = _small_star(_large_star(edges))
+        path = os.path.join(scratch_dir, f"cc_frontier_{rnd}.parquet")
+        nxt.write.mode("overwrite").parquet(path)
+        nxt = spark.read.parquet(path)
+        nfp = _frontier_fingerprint(nxt)
+        edges = nxt
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+    # Converged frontier is a star forest: u -> root. Labels = stars + roots.
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    labels = labels.unionAll(roots).groupBy("node").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+    if nodes is not None:
+        node_col = nodes.columns[0]
+        all_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
+        labels = (
+            all_nodes.join(labels, "node", "left")
+            .select("node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id"))
+        )
+    return labels
+
+
+def with_cluster_sizes(labels: DataFrame) -> DataFrame:
+    """Attach the component size to each (node, cluster_id) row — the dedup
+    keeper rule reads it directly (keep node == cluster_id, or weight
+    sampling by 1/cluster_size for soft dedup)."""
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select("node", "cluster_id", "cluster_size")

@@ -1,0 +1,100 @@
+"""As-of join — "for each left row, the most recent right row at or before
+its timestamp, per key" — the temporal-alignment primitive (market data,
+event attribution, slowly-changing dimensions) that Spark has no built-in
+operator for.
+
+Naive formulations are scale traps:
+- an inequality join (``l.ts >= r.ts``) is a range join — Catalyst plans a
+  broadcast nested loop or cartesian product, O(|L|·|R|) per key;
+- a window over the right side per left row via correlated subquery isn't
+  expressible in the DataFrame API at all.
+
+The scalable shape used here is the classic union-merge: tag both sides,
+union, ONE hash-shuffle on the key, sort within partition by (ts, tag), and
+carry the last-seen right row forward with ``last(..., ignorenulls=True)``
+over an unbounded-preceding running window. Cost: one shuffle of |L|+|R|
+rows, one sort — identical asymptotics to a sort-merge join, no row
+explosion, skew bounded by key cardinality exactly like any keyed window.
+
+Tie rule: a right row AT the left row's timestamp matches (``>=``
+semantics, right-sorts-before-left at equal ts) — the same rule DuckDB's
+native ``ASOF JOIN`` implements, which is what the oracle query uses.
+Multiple right rows on the same (key, ts) are reduced to one deterministic
+winner first (max by the ordered value columns) so the operator is a
+function, not a race.
+
+Reference parity note: stevegsax/mistral-ocr has no temporal join; this is
+training-data-pipeline surface (attributing a crawl/event to the latest
+preceding state snapshot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus the columns of the latest
+    ``right`` row with the same ``on`` key and ``right.ts <= left.ts``
+    (NULLs when no such row exists).
+
+    ``right_cols``: right columns to carry (default: all except key+ts);
+    each is emitted as ``<name><suffix>``, plus ``<ts><suffix>`` for the
+    matched timestamp.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, ts)]
+
+    # One deterministic right row per (key, ts): greatest tuple of carried
+    # columns wins. struct ordering is lexicographic over fields.
+    r1 = (
+        right.groupBy(on, ts)
+        .agg(F.max(F.struct(*right_cols)).alias("_r"))
+        .select(on, ts, "_r")
+    )
+
+    left_cols = left.columns
+    carry = [c for c in left_cols if c not in (on, ts)]
+    tagged_r = r1.select(
+        F.col(on),
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.col("_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in carry],
+    )
+    tagged_l = left.select(
+        F.col(on),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(tagged_r.schema["_r"].dataType).alias("_r"),
+        *[F.col(c) for c in carry],
+    )
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged_r.unionByName(tagged_l).select(
+        "*",
+        F.last("_r", ignorenulls=True).over(w).alias("_match"),
+        F.last(F.when(F.col("_tag") == 0, F.col("_ts")), ignorenulls=True)
+        .over(w)
+        .alias("_match_ts"),
+    )
+    out = merged.filter(F.col("_tag") == 1).select(
+        F.col(on),
+        F.col("_ts").alias(ts),
+        *[F.col(c) for c in carry],
+        *[F.col("_match")[c].alias(f"{c}{suffix}") for c in right_cols],
+        F.col("_match_ts").alias(f"{ts}{suffix}"),
+    )
+    return out

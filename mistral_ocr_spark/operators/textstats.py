@@ -95,6 +95,100 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm))
 
 
+def web_quality_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document web-corpus quality signals in the style of the published
+    Gopher (Rae et al. 2021, §A1.1) and repetition filters used by
+    C4/FineWeb-class pipelines, restricted to the signals this corpus can
+    exercise (single-line text without punctuation → line-based and
+    terminal-punctuation C4 rules would be constant here; they are
+    deliberately omitted rather than shipped as dead columns).
+
+    Signals (every formula also expressible in ANSI SQL, so the whole row is
+    DuckDB value-hash checkable):
+
+    - ``n_words`` — whitespace token count.
+    - ``mean_word_len`` — non-whitespace chars / words (Gopher keeps 3-10).
+    - ``stop_hits`` — occurrences of the fixed STOPWORDS list (Gopher's
+      "≥2 stop words" rule).
+    - ``stop_density`` — stop_hits / n_words.
+    - ``dup_word_frac`` — 1 - distinct words / words (repetition signal;
+      Gopher's duplicate-line fraction collapses to word granularity on a
+      one-line corpus).
+    - ``top_word_frac`` — frequency of the most common word / n_words
+      (Gopher's top-n-gram coverage at n=1). Computed with the distributed
+      shape — explode → per-(doc,word) count → per-doc max — NOT a per-row
+      O(words²) array lambda, so the same plan holds on 100-TB input where
+      documents can be arbitrarily long.
+    - ``gopher_pass`` / ``rep_pass`` — composite keep flags (int 0/1).
+
+    Everything except ``top_word_frac`` is whole-stage-codegen'd JVM
+    expressions; ``top_word_frac`` costs one wordcount-shaped shuffle plus a
+    per-doc aggregate, the canonical scalable plan for that statistic.
+    """
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n_words = F.size(words).cast("bigint")
+    mean_wlen = F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / F.greatest(
+        n_words.cast("double"), F.lit(1.0)
+    )
+    p = _padded(t)
+    stop = sum((_count_occurrences(p, s) for s in STOPWORDS), F.lit(0).cast("double"))
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / F.greatest(
+        n_words.cast("double"), F.lit(1.0)
+    )
+
+    base = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        stop.cast("bigint").alias("stop_hits"),
+        F.round(stop / F.greatest(n_words.cast("double"), F.lit(1.0)), 6).alias(
+            "stop_density"
+        ),
+        F.round(dup_frac, 6).alias("dup_word_frac"),
+    )
+
+    # Distributed top-word coverage: explode → count per (doc, word) →
+    # max/sum per doc. Partial aggregation keeps the shuffle narrow; the
+    # join back to `base` is on the doc id (broadcast-able when the signal
+    # table is the small side, plain shuffle join otherwise — Catalyst/AQE
+    # picks).
+    top = (
+        df.select(F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w"))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.max("_c").cast("double") / F.sum("_c").cast("double"), 6
+            ).alias("top_word_frac")
+        )
+    )
+
+    out = base.join(top, id_col)
+    gopher = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("stop_hits") >= 2)
+    )
+    rep = (F.col("dup_word_frac") <= 0.6) & (F.col("top_word_frac") <= 0.2)
+    return out.select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "stop_hits",
+        "stop_density",
+        "dup_word_frac",
+        "top_word_frac",
+        gopher.cast("int").alias("gopher_pass"),
+        rep.cast("int").alias("rep_pass"),
+    )
+
+
 # --- shared SQL fragments for the DuckDB oracles (same formulas) -----------
 
 def occurrences_sql(padded: str, needle: str) -> str:

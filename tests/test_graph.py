@@ -1,0 +1,94 @@
+"""Connected-components (large-star/small-star) tests: labels must equal a
+driver-side union-find ground truth on chains, stars, multi-component and
+random graphs; singletons must label themselves; the result must be
+deterministic across parallelism."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from mistral_ocr_spark.operators.graph import connected_components, with_cluster_sizes
+
+
+def _union_find(n_nodes, pairs):
+    parent = {i: i for i in n_nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # full path compression, then label = min of component
+    comp = {}
+    for x in n_nodes:
+        comp.setdefault(find(x), []).append(x)
+    return {x: min(members) for members in comp.values() for x in members}
+
+
+def _labels(spark, pairs, nodes=None, **kw):
+    pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["id"]) if nodes else None
+    out = connected_components(pdf, nodes=ndf, **kw)
+    return {r.node: r.cluster_id for r in out.collect()}
+
+
+def test_chain_is_transitive(spark):
+    # A-B, B-C, C-D: one component even though A-D was never emitted
+    got = _labels(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_star_multi_component_and_singletons(spark):
+    pairs = [(10, 2), (10, 30), (10, 4), (100, 200)]
+    got = _labels(spark, pairs, nodes=[2, 4, 10, 30, 100, 200, 999])
+    assert got == {2: 2, 4: 2, 10: 2, 30: 2, 100: 100, 200: 100, 999: 999}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(200))
+    pairs = [(rng.randrange(200), rng.randrange(200)) for _ in range(120)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    want = _union_find(nodes, pairs)
+    got = _labels(spark, pairs, nodes=nodes)
+    assert got == want
+
+
+def test_deterministic_across_parallelism(spark):
+    rng = random.Random(11)
+    pairs = [(rng.randrange(50), rng.randrange(50)) for _ in range(40)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    one = _labels(spark, pairs)
+    pdf = spark.createDataFrame(pairs, ["id_a", "id_b"]).repartition(16)
+    two = {r.node: r.cluster_id for r in connected_components(pdf).collect()}
+    assert one == two
+
+
+def test_cluster_sizes(spark):
+    pdf = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    out = with_cluster_sizes(connected_components(pdf)).collect()
+    got = {r.node: (r.cluster_id, r.cluster_size) for r in out}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 8: (7, 2)}
+
+
+def test_no_cached_rdds_left(spark):
+    pdf = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    connected_components(pdf).collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+
+
+def test_scratch_lands_under_warehouse(spark, tmp_path):
+    pdf = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    d = str(tmp_path / "scratch")
+    out = connected_components(pdf, scratch_dir=d).collect()
+    assert {r.node: r.cluster_id for r in out} == {1: 1, 2: 1}
+    import os
+
+    assert any(n.startswith("cc_frontier_") for n in os.listdir(d))

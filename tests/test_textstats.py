@@ -42,6 +42,33 @@ def test_no_marker_is_und_and_ties_deterministic(spark):
     assert got[3] == "en"
 
 
+def test_web_quality_signals_on_handcrafted_docs(spark):
+    """Every signal checked against hand-computed values on docs built to
+    hit both sides of each Gopher/repetition threshold."""
+    # 60 words, 56 distinct, "the" twice, stopwords present -> passes both
+    long_good = " ".join(f"word{i:02d}" for i in range(55)) + " the a of and the"
+    short = "tiny doc of words"  # 4 words -> fails the 50-word floor
+    repeaty = " ".join(["spam"] * 30 + ["the", "a"])  # one word dominates
+    df = spark.createDataFrame(
+        [(1, long_good), (2, short), (3, repeaty)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.asDict() for r in X.web_quality_signals(df).collect()}
+
+    g = got[1]
+    assert g["n_words"] == 60
+    assert 3.0 <= g["mean_word_len"] <= 10.0
+    assert g["stop_hits"] == 5 and g["gopher_pass"] == 1
+    # "the" appears 2x in 60 words; 59 distinct words
+    assert abs(g["top_word_frac"] - 2 / 60) < 1e-6
+    assert abs(g["dup_word_frac"] - (1 - 59 / 60)) < 1e-6
+    assert g["rep_pass"] == 1
+    s = got[2]
+    assert s["n_words"] == 4 and s["gopher_pass"] == 0
+    r = got[3]
+    assert r["dup_word_frac"] > 0.6 and r["top_word_frac"] > 0.2 and r["rep_pass"] == 0
+    assert r["top_word_frac"] == round(30 / 32, 6)
+
+
 def test_lang_oracle_matches_on_adversarial_inputs(spark):
     """The generated SQL formula must agree with the Spark expression on
     short/accented/tie inputs, not just the driver corpus."""
