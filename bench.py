@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_multiprobe_topk",
     "token_counts",
-    "quality_score",
+    "web_quality_filters",
 ]
 
 

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mistral_ocr_spark.operators import dedup as D
+from mistral_ocr_spark.operators import graph as G
+from mistral_ocr_spark.operators import joins as J
 from mistral_ocr_spark.operators import multimodal as M
 from mistral_ocr_spark.operators import similarity as S
 from mistral_ocr_spark.operators import textstats as X
@@ -106,31 +108,28 @@ def host_distribution(spark, sf_dir):
 # ===========================================================================
 
 @_q(
-    "search_content",  # F1 + O4: LIKE search, newest-first, LIMIT 50
-    "SELECT doc_id, lang, n_chars FROM documents WHERE text LIKE '%merge sort%' "
+    # F1 + O4 + F2 in one query (search_snippet folded r3 session 2 —
+    # COVERAGE.md §cap): LIKE search, ordered LIMIT, and the context window
+    # around the match as a hash-checked column.
+    "search_content",
+    "SELECT doc_id, lang, n_chars, "
+    "substring(text, greatest(strpos(text, 'merge sort') - 20, 1), 52) AS snippet "
+    "FROM documents WHERE text LIKE '%merge sort%' "
     "ORDER BY n_chars DESC, doc_id LIMIT 50",
 )
 def search_content(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    pos = F.locate("merge sort", F.col("text"))
     return (
         d.filter(F.col("text").contains("merge sort"))
-        .select("doc_id", "lang", "n_chars")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.substring(F.col("text"), F.greatest(pos - 20, F.lit(1)), 52).alias("snippet"),
+        )
         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
         .limit(50)
-    )
-
-
-@_q(
-    "search_snippet",  # F2: context window around the match
-    "SELECT doc_id, substring(text, greatest(strpos(text, 'window') - 20, 1), 52) AS snippet "
-    "FROM documents WHERE strpos(text, 'window') > 0",
-)
-def search_snippet(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    pos = F.locate("window", F.col("text"))
-    return d.filter(pos > 0).select(
-        "doc_id",
-        F.substring(F.col("text"), F.greatest(pos - 20, F.lit(1)), 52).alias("snippet"),
     )
 
 
@@ -188,10 +187,14 @@ def join_3way_search(spark, sf_dir):
 
 
 @_q(
-    "status_counters",  # A1 + A2: per-type counters + share
+    # A1 + A2 in one query (progress_pct folded r3 session 2 — COVERAGE.md
+    # §cap): per-type counters, global share, and the progress-% formatting
+    # (share * 100 rounded to 1 dp, the reference status verb's display).
+    "status_counters",
     "SELECT event_type, CAST(count(*) AS BIGINT) AS total, "
     "CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS succeeded, "
-    "round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share FROM events GROUP BY event_type",
+    "round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share, "
+    "round(count(*) * 100.0 / sum(count(*)) OVER (), 1) AS pct FROM events GROUP BY event_type",
 )
 def status_counters(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
@@ -207,6 +210,7 @@ def status_counters(spark, sf_dir):
         "total",
         "succeeded",
         F.round(F.col("total") * 1.0 / F.col("grand_total"), 6).alias("share"),
+        F.round(F.col("total") * 100.0 / F.col("grand_total"), 1).alias("pct"),
     )
 
 
@@ -349,22 +353,6 @@ def mime_dispatch(spark, sf_dir):
         .otherwise("application/octet-stream")
     )
     return d.groupBy(mime.alias("mime")).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-
-
-@_q(
-    "progress_pct",  # A2: completed/total*100
-    "SELECT o_orderstatus, round(count(*) * 100.0 / sum(count(*)) OVER (), 1) AS pct "
-    "FROM orders GROUP BY o_orderstatus",
-)
-def progress_pct(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    grand = o.agg(F.sum("cnt").alias("grand_total"))
-    return o.crossJoin(F.broadcast(grand)).select(
-        "o_orderstatus",
-        F.round(F.col("cnt") * 100.0 / F.col("grand_total"), 1).alias("pct"),
-    )
 
 
 @_q(
@@ -762,9 +750,56 @@ def _quality_oracle() -> str:
     return f"SELECT doc_id, {_quality_expr_sql()} AS quality FROM documents"
 
 
-@_q("quality_score", _quality_oracle())
-def quality_score(spark, sf_dir):
-    return X.with_quality_score(_t(spark, sf_dir, "documents")).select("doc_id", "quality")
+def _web_quality_oracle() -> str:
+    """The web_quality_signals formulas (textstats.web_quality_signals) as
+    one DuckDB query — identical arithmetic, identical rounding, flags
+    computed from the ROUNDED values on both sides so threshold boundaries
+    cannot drift between engines. quality_score's legacy formula rides
+    along as the ``quality`` column (folded r3 session 2 — COVERAGE.md §cap)."""
+    words = "regexp_split_to_array(trim(text), '\\s+')"
+    n_d = f"CAST(len({words}) AS DOUBLE)"
+    p = "(' ' || trim(text) || ' ')"
+    stop = " + ".join(X.occurrences_sql(p, s) for s in X.STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len({words}) AS BIGINT) AS n_words,
+    round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+          / greatest({n_d}, 1.0), 6) AS mean_word_len,
+    CAST(({stop}) AS BIGINT) AS stop_hits,
+    round(({stop}) / greatest({n_d}, 1.0), 6) AS stop_density,
+    round(1.0 - CAST(len(list_distinct({words})) AS DOUBLE) / greatest({n_d}, 1.0), 6)
+      AS dup_word_frac,
+    {_quality_expr_sql()} AS quality
+  FROM documents),
+w AS (SELECT doc_id, unnest({words}) AS word FROM documents),
+c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+t AS (SELECT doc_id, round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+        AS top_word_frac FROM c GROUP BY 1)
+SELECT b.doc_id, b.n_words, b.mean_word_len, b.stop_hits, b.stop_density,
+  b.dup_word_frac, t.top_word_frac,
+  CAST((b.n_words >= 50 AND b.n_words <= 100000 AND b.mean_word_len >= 3.0
+        AND b.mean_word_len <= 10.0 AND b.stop_hits >= 2) AS INT) AS gopher_pass,
+  CAST((b.dup_word_frac <= 0.6 AND t.top_word_frac <= 0.2) AS INT) AS rep_pass,
+  b.quality
+FROM base b JOIN t ON b.doc_id = t.doc_id"""
+
+
+@_q(
+    # Published web-corpus quality filters (Gopher word-level rules +
+    # repetition signals; see operators/textstats.py for why the line-based
+    # C4 rules are omitted on this single-line corpus), with the legacy
+    # quality_score column folded in. top_word_frac uses the distributed
+    # explode/groupBy plan — the shape that survives arbitrarily long
+    # documents at 100 TB.
+    "web_quality_filters",
+    _web_quality_oracle(),
+)
+def web_quality_filters(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    signals = X.web_quality_signals(d)
+    legacy = X.with_quality_score(d).select("doc_id", "quality")
+    return signals.join(legacy, "doc_id")
 
 
 @_q(
@@ -914,6 +949,107 @@ WHERE a.doc_id < b.doc_id
 def dedup_simhash(spark, sf_dir):
     aug = D.augmented_docs(_t(spark, sf_dir, "documents"))
     return D.simhash_pairs(aug, max_hamming=6)
+
+
+# Duplicate-CLUSTER formation: the step between "similar pairs" and "keep one
+# per group". The corpus is a 3-level chain (doc, doc minus last word, doc
+# minus last two words) so components require TRANSITIVE closure — A~B and
+# B~C land in one cluster even when A~C was never emitted as a pair. Spark
+# runs MinHash-LSH pair generation (exact answer set at the 0.6 threshold,
+# same guarantee as dedup_minhash_lsh) then large-star/small-star connected
+# components (operators/graph.py); the oracle recomputes the identical pair
+# set by brute force and closes it with a recursive CTE — a completely
+# different algorithm agreeing on every (doc, cluster, size) row.
+_CHAIN_SQL = (
+    "(SELECT doc_id, text FROM documents WHERE doc_id < 200 "
+    "UNION ALL SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '') "
+    "FROM documents WHERE doc_id < 200 "
+    "UNION ALL SELECT doc_id + 200000, "
+    "regexp_replace(regexp_replace(text, '\\s+\\S+$', ''), '\\s+\\S+$', '') "
+    "FROM documents WHERE doc_id < 200)"
+)
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE aug AS (SELECT doc_id, text FROM {_CHAIN_SQL} t),
+sh AS (SELECT doc_id AS id, {_SHINGLE_SQL} AS shingles FROM aug),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b FROM sh a, sh b
+  WHERE a.id < b.id
+    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+        >= 0.6),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM aug
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, s.cluster_size FROM lab l JOIN sz s USING (cluster_id)
+"""
+
+
+def _chain_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id", "text")
+    drop_last = lambda c: F.regexp_replace(c, r"\s+\S+$", "")  # noqa: E731
+    l1 = d.select((F.col("doc_id") + 100000).alias("doc_id"), drop_last(F.col("text")).alias("text"))
+    l2 = d.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        drop_last(drop_last(F.col("text"))).alias("text"),
+    )
+    return d.unionAll(l1).unionAll(l2)
+
+
+@_q("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark, sf_dir):
+    aug = _chain_docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(aug, threshold=0.6)
+    labels = G.connected_components(pairs, nodes=aug.select("doc_id"))
+    return G.with_cluster_sizes(labels).select(
+        F.col("node").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
+# As-of join (operators/joins.py): attribute every error event to the user's
+# latest click at-or-before it — the union-merge plan (ONE keyed shuffle, no
+# range-join explosion). The oracle uses DuckDB's NATIVE ASOF LEFT JOIN, a
+# genuinely independent implementation of the same semantics.
+_ASOF_ORACLE = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+r0 AS (SELECT user_id, ts, event_id AS click_id, value FROM events
+       WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, click_id, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY click_id DESC, value DESC) AS rn
+        FROM r0) WHERE rn = 1)
+SELECT l.event_id, l.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+       r.click_id AS prior_click_id, round(r.value, 6) AS prior_value,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS prior_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@_q("asof_join_events", _ASOF_ORACLE)
+def asof_join_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    right = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    out = J.asof_join(left, right, on="user_id", ts="ts", right_cols=["click_id", "value"])
+    # Timestamps leave as timezone-free microsecond STRINGS (the fixture
+    # parquet is TIMESTAMP_NTZ; formatting avoids any session-timezone
+    # reinterpretation an epoch conversion would introduce).
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("err_ts"),
+        F.col("click_id_right").alias("prior_click_id"),
+        F.round("value_right", 6).alias("prior_value"),
+        F.date_format("ts_right", fmt).alias("prior_ts"),
+    )
 
 
 _EMB_AUG_SQL = (
@@ -1163,8 +1299,13 @@ def lineage_status(spark, sf_dir):
 # Adding a query REQUIRES placing it here (the assertions below force it)
 # and keeping the total ≤ 50, folding something else if needed.
 _ORDER = [
-    # flagship + the six never-driver-checked through r2, + two r1-only
+    # flagship, then queries that have never received a driver row: the
+    # three r3-session-2 additions first, then the six unchecked through r2
+    # and the two r1-only.
     "pipeline_extract",
+    "web_quality_filters",
+    "dedup_clusters",
+    "asof_join_events",
     "ann_multiprobe_topk",
     "dedup_embedding_lsh",
     "embedding_quantize",
@@ -1178,7 +1319,6 @@ _ORDER = [
     "pipeline_quality",
     "host_distribution",
     "search_content",
-    "search_snippet",
     "point_lookup",
     "join_inner",
     "join_left_coalesce",
@@ -1193,7 +1333,6 @@ _ORDER = [
     "name_normalize",
     "mime_dispatch",
     "lang_rollup",
-    "progress_pct",
     "json_extract",
     "display_formats",
     "scalar_functions",
@@ -1210,7 +1349,6 @@ _ORDER = [
     # text analysis
     "token_counts",
     "lang_id",
-    "quality_score",
     "fingerprints",
     # dedup / similarity
     "dedup_exact",

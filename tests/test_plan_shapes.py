@@ -54,7 +54,7 @@ def test_agg_is_partial_then_final(spark):
 
 def test_no_cartesian_outside_declared_single_row_broadcasts(spark):
     # Every registered query must avoid CartesianProduct; the single-row
-    # scalar broadcasts (progress_pct, status_counters, ANN query vector)
+    # scalar broadcasts (status_counters share/pct, ANN query vector)
     # plan as BroadcastNestedLoopJoin over one broadcast row, which is the
     # intended shape.
     offenders = []
