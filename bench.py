@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "ann_multiprobe_topk",
     "token_counts",
     "web_quality_filters",
+    "dedup_clusters",
+    "asof_join_events",
 ]
 
 
