@@ -16,6 +16,6 @@ Design tenets (scale-first):
   covering data + lineage, so a killed job resumes exactly-once per url.
 """
 
-EXTRACTOR_VERSION = "1.3.0"  # 1.3.0: PDF page-tree ordering (catalog/Kids walk, ObjStm); 1.2.1: TJ kern fix
+EXTRACTOR_VERSION = "1.4.0"  # 1.4.0: PDF ToUnicode CMap font decoding + UTF-16BE text strings; 1.3.0: page-tree ordering (catalog/Kids walk, ObjStm); 1.2.1: TJ kern fix
 
 __all__ = ["EXTRACTOR_VERSION"]

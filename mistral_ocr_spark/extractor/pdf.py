@@ -21,13 +21,25 @@ implemented directly (PDF 32000-1 §9.4 text objects):
   per page, and PDF 1.5 object streams (/ObjStm) expanded; byte-order
   fallback when no catalog resolves.
 
+Font decoding (since 1.4.0): when a page's resources declare fonts with a
+``/ToUnicode`` CMap (PDF 32000-1 §9.10.3 — the standard way real-world
+generators make text extractable, and the ONLY correct decoding for subset
+/ CID / Identity-H fonts), show strings are decoded through the CMap:
+``begincodespacerange`` fixes the code width (1- or 2-byte codes),
+``bfchar`` and ``bfrange`` entries (both destination forms) map codes to
+UTF-16BE targets. ``Tf`` switches the active font; resources are inherited
+up the /Pages tree per the spec's inheritable-attributes rule. Outside any
+CMap, text strings with a UTF-16BE BOM decode as UTF-16BE (§7.9.2.2);
+everything else keeps the pinned latin-1 policy, so pre-1.4.0 outputs are
+unchanged for documents without ToUnicode fonts.
+
 Anything without extractable text objects is surfaced as
 ``error_class='unsupported_pdf'`` (per-row error capture, the analog of the
 reference's error_files side channel, simple_client.py:630-664). Out of
 scope (documented, not silently wrong): nested unescaped parens in literal
-strings, non-Flate filters, CID/Type0 font decoding (bytes decode latin-1),
-cross-reference STREAM decoding (the object scan makes it unnecessary for
-in-memory extraction).
+strings, non-Flate filters, CID fonts WITHOUT a ToUnicode CMap (bytes
+decode latin-1), cross-reference STREAM decoding (the object scan makes it
+unnecessary for in-memory extraction).
 """
 
 from __future__ import annotations
@@ -52,6 +64,7 @@ _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _TOKEN_RE = re.compile(
     rb"\((?:[^()\\]|\\.)*\)"  # literal string
     rb"|<[0-9A-Fa-f\s]*>"  # hex string
+    rb"|/[^\s/<>\[\]()%]*"  # name (font selector operand for Tf)
     rb"|-?\d+(?:\.\d+)?"  # numeric operand
     rb"|T\*|Td|TD|Tj|TJ|Tm|Tf"  # operators of interest
     rb"|Tc|Tw|Tz|TL|Ts|Tr"  # text-state operators (operand sinks)
@@ -113,12 +126,94 @@ def _inflate_streams(raw: bytes) -> bytes:
     return raw + b"\n" + b"\n".join(inflated) if inflated else raw
 
 
-def _render_text_object(body: bytes) -> str:
+# --- font decoding: ToUnicode CMaps --------------------------------------
+
+# A parsed font: (code width in bytes, code -> unicode string)
+FontMap = tuple[int, dict[int, str]]
+
+_CSP_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_RANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(<[0-9A-Fa-f]+>|\[(?:\s*<[0-9A-Fa-f]*>)+\s*\])",
+    re.DOTALL,
+)
+
+
+def _u16(hx: bytes) -> str:
+    try:
+        return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be")
+    except (ValueError, UnicodeDecodeError):
+        return "�"
+
+
+def parse_tounicode(data: bytes) -> FontMap:
+    """Parse a ToUnicode CMap stream: code width from the codespace range,
+    bfchar pairs, and bfrange entries in both destination forms (single
+    incrementing target — the increment applies to the LAST UTF-16 code
+    unit per §9.10.3 — or an explicit target array)."""
+    m = _CSP_RE.search(data)
+    width = len(m.group(1)) // 2 if m else 1
+    cmap: dict[int, str] = {}
+    for section in _BFRANGE_RE.finditer(data):
+        for rm in _RANGE_RE.finditer(section.group(1)):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            dst = rm.group(3)
+            if hi - lo > 0xFFFF:  # malformed-range bomb guard
+                continue
+            if dst[:1] == b"<":
+                base = _u16(dst[1:-1])
+                for i in range(hi - lo + 1):
+                    cmap[lo + i] = base[:-1] + chr(ord(base[-1]) + i) if base else ""
+            else:
+                targets = re.findall(rb"<([0-9A-Fa-f]*)>", dst)
+                for i in range(min(hi - lo + 1, len(targets))):
+                    cmap[lo + i] = _u16(targets[i])
+    for section in _BFCHAR_RE.finditer(data):
+        for cm in _HEXPAIR_RE.finditer(section.group(1)):
+            cmap[int(cm.group(1), 16)] = _u16(cm.group(2))
+    return (width, cmap)
+
+
+def _decode_string(raw: bytes, font: FontMap | None) -> str:
+    """Decode one show-string's bytes: through the active font's ToUnicode
+    CMap when there is one (unmapped 1-byte codes keep the latin-1 policy;
+    unmapped 2-byte codes decode as the code point itself — the Identity
+    convention); else UTF-16BE when BOM-tagged (§7.9.2.2); else latin-1."""
+    if font is not None:
+        width, cmap = font
+        out: list[str] = []
+        n_full = len(raw) - (len(raw) % width)
+        for i in range(0, n_full, width):
+            code = int.from_bytes(raw[i : i + width], "big")
+            mapped = cmap.get(code)
+            if mapped is None:
+                mapped = raw[i : i + width].decode("latin-1") if width == 1 else (
+                    chr(code) if code < 0x110000 else "�"
+                )
+            out.append(mapped)
+        if n_full < len(raw):  # trailing partial code: keep the bytes visible
+            out.append(raw[n_full:].decode("latin-1"))
+        return "".join(out)
+    if raw[:2] == b"\xfe\xff":
+        try:
+            return raw[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return raw.decode("latin-1")
+    return raw.decode("latin-1")
+
+
+def _render_text_object(body: bytes, fonts: dict[bytes, FontMap] | None = None) -> str:
     """Interpret one BT…ET body: show operators append to the current line,
-    positioning operators start new lines, TJ kern gaps become spaces."""
+    positioning operators start new lines, TJ kern gaps become spaces.
+    ``fonts`` maps resource names (b"F1") to parsed ToUnicode maps; ``Tf``
+    switches the active one."""
     lines: list[str] = []
     cur: list[str] = []
     pending: list[tuple[str, object]] = []  # operand stack since last operator
+    cur_font: FontMap | None = None
 
     def newline() -> None:
         if cur:
@@ -128,14 +223,21 @@ def _render_text_object(body: bytes) -> str:
     for m in _TOKEN_RE.finditer(body):
         tok = m.group(0)
         if tok[:1] == b"(":
-            pending.append(("str", _unescape(tok[1:-1]).decode("latin-1")))
+            pending.append(("str", _decode_string(_unescape(tok[1:-1]), cur_font)))
+        elif tok[:1] == b"/":
+            pending.append(("name", tok[1:]))
         elif tok[:1] == b"<":
-            pending.append(("str", _decode_hex(tok).decode("latin-1")))
+            pending.append(("str", _decode_string(_decode_hex(tok), cur_font)))
         elif tok in (b"Td", b"TD", b"T*", b"Tm"):
             newline()
             pending.clear()
-        elif tok in (b"Tf", b"Tc", b"Tw", b"Tz", b"TL", b"Ts", b"Tr"):
-            pending.clear()  # font / text-state operands — values ignored
+        elif tok == b"Tf":
+            names = [v for k, v in pending if k == "name"]
+            if fonts and names:
+                cur_font = fonts.get(names[-1], cur_font)  # type: ignore[arg-type]
+            pending.clear()
+        elif tok in (b"Tc", b"Tw", b"Tz", b"TL", b"Ts", b"Tr"):
+            pending.clear()  # text-state operands — values ignored
         elif tok == b"[":
             # TJ array opens: anything pending is operands of some earlier
             # operator we don't render — never kern values for this TJ
@@ -237,10 +339,73 @@ def _ref_array(body: bytes, key: bytes) -> list[int] | None:
     return [single] if single is not None else None
 
 
-def _page_contents_in_order(raw: bytes) -> list[bytes] | None:
-    """Per-page content bytes in PAGE-TREE order, or None when the document
-    carries no resolvable catalog/page tree (minimal fixtures, damaged
-    files) — the caller then falls back to byte-order scanning."""
+def _balanced_dict(buf: bytes, start: int) -> bytes | None:
+    """The full ``<< … >>`` slice starting at ``start`` (nesting-aware —
+    a non-greedy regex truncates at the first ``>>`` of a nested dict)."""
+    depth = 0
+    i = start
+    while i < len(buf) - 1:
+        pair = buf[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return buf[start:i]
+        else:
+            i += 1
+    return None
+
+
+def _value_dict(body: bytes, key: bytes, objs: dict[int, bytes]) -> bytes | None:
+    """``/Key << … >>`` (inline, balanced) or ``/Key N 0 R`` (resolved)."""
+    m = re.search(key + rb"\s*(<<|\d+\s+\d+\s+R)", body)
+    if not m:
+        return None
+    if m.group(1) == b"<<":
+        return _balanced_dict(body, m.start(1))
+    return objs.get(int(m.group(1).split()[0]))
+
+
+def _page_fonts(page: bytes, objs: dict[int, bytes]) -> dict[bytes, FontMap]:
+    """Resource-name → parsed ToUnicode map for one page. /Resources is
+    inline or a reference, and inherits up the /Parent chain (PDF 32000-1
+    §7.7.3.4 inheritable attributes); fonts without a /ToUnicode stream are
+    skipped (their strings keep the latin-1 policy)."""
+    res = None
+    node, depth = page, 0
+    while node is not None and depth < 8:
+        res = _value_dict(node, rb"/Resources", objs)
+        if res is not None:
+            break
+        parent = _ref(node, rb"/Parent")
+        node = objs.get(parent) if parent is not None else None
+        depth += 1
+    if res is None:
+        return {}
+    fdict = _value_dict(res, rb"/Font", objs)
+    if fdict is None:
+        return {}
+    fonts: dict[bytes, FontMap] = {}
+    for fm in re.finditer(rb"/([^\s/<>\[\]()%]+)\s+(\d+)\s+\d+\s+R", fdict):
+        fobj = objs.get(int(fm.group(2)))
+        if fobj is None:
+            continue
+        tu = _ref(fobj, rb"/ToUnicode")
+        if tu is None or tu not in objs:
+            continue
+        data = _stream_data(objs[tu])
+        if data is not None:
+            fonts[fm.group(1)] = parse_tounicode(data)
+    return fonts
+
+
+def _page_contents_in_order(raw: bytes) -> list[tuple[bytes, dict[bytes, FontMap]]] | None:
+    """Per-page (content bytes, font table) in PAGE-TREE order, or None when
+    the document carries no resolvable catalog/page tree (minimal fixtures,
+    damaged files) — the caller then falls back to byte-order scanning."""
     root_m = _ROOT_RE.search(raw)
     if not root_m:
         return None
@@ -271,7 +436,7 @@ def _page_contents_in_order(raw: bytes) -> list[bytes] | None:
     walk(pages_ref)
     if not page_objs:
         return None
-    out: list[bytes] = []
+    out: list[tuple[bytes, dict[bytes, FontMap]]] = []
     for page in page_objs:
         parts = [
             _stream_data(objs[c]) or b""
@@ -280,7 +445,7 @@ def _page_contents_in_order(raw: bytes) -> list[bytes] | None:
         ]
         # a /Contents array is ONE logical stream split arbitrarily —
         # concatenation (newline-joined) restores it
-        out.append(b"\n".join(parts))
+        out.append((b"\n".join(parts), _page_fonts(page, objs)))
     return out
 
 
@@ -300,9 +465,9 @@ def extract_pdf_text(raw: bytes) -> list[str] | None:
     pages = _page_contents_in_order(raw)
     if pages is not None:
         paragraphs = []
-        for content in pages:
+        for content, fonts in pages:
             for obj in _BT_ET_RE.finditer(content):
-                text = _render_text_object(obj.group(1))
+                text = _render_text_object(obj.group(1), fonts)
                 if text:
                     paragraphs.append(text)
         if paragraphs:

@@ -310,3 +310,95 @@ def test_pdf_flate_multiline():
         + b"\nendstream\nendobj\n"
     )
     assert extract_pdf_text(pdf) == ["top\nbot tom"]
+
+
+def _tounicode_pdf(cmap: bytes, content: bytes, *, font_in_parent: bool = False) -> bytes:
+    """One-page document whose /F1 carries the given ToUnicode CMap; with
+    ``font_in_parent`` the /Resources dict sits on the /Pages node and must
+    be INHERITED by the page (PDF 32000-1 §7.7.3.4)."""
+    res = b"/Resources << /XObject << /Im0 9 0 R >> /Font << /F1 7 0 R >> >>"
+    page_extra = b"" if font_in_parent else b" " + res
+    pages_extra = b" " + res if font_in_parent else b""
+    return (
+        b"%PDF-1.5\n"
+        + _pdf_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _pdf_obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1" + pages_extra + b" >>")
+        + _pdf_obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R" + page_extra + b" >>")
+        + _pdf_stream_obj(4, content)
+        + _pdf_obj(7, b"<< /Type /Font /Subtype /Type0 /ToUnicode 8 0 R >>")
+        + _pdf_stream_obj(8, cmap)
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF"
+    )
+
+
+_CJK_CMAP = (
+    b"/CIDInit /ProcSet findresource begin\n"
+    b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    b"2 beginbfchar\n<0001> <4F60>\n<0002> <597D>\nendbfchar\n"
+    b"1 beginbfrange\n<0010> <0012> <0041>\nendbfrange\n"
+    b"end"
+)
+
+
+def test_pdf_tounicode_two_byte_codes():
+    """Identity-H-style 2-byte codes through bfchar + incrementing bfrange:
+    the ONLY correct decoding for subset/CID fonts — latin-1 would emit
+    control garbage here."""
+    content = b"BT /F1 12 Tf <00010002> Tj ( ) Tj <001000110012> Tj ET"
+    out = extract_pdf_text(_tounicode_pdf(_CJK_CMAP, content))
+    assert out == ["你好 ABC"]
+
+
+def test_pdf_tounicode_inherited_resources_and_unmapped_fallback():
+    out = extract_pdf_text(
+        _tounicode_pdf(_CJK_CMAP, b"BT /F1 12 Tf <0001> Tj <4E16> Tj ET", font_in_parent=True)
+    )
+    # 0x0001 mapped; 0x4E16 unmapped 2-byte code decodes as the code point
+    # itself (the Identity convention)
+    assert out == ["你世"]
+
+
+def test_pdf_tounicode_one_byte_codes_and_array_bfrange():
+    cmap = (
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<01> <00DC>\nendbfchar\n"  # 0x01 -> Ü
+        b"1 beginbfrange\n<61> <63> [<0077> <0078> <00790079>] endbfrange\n"
+    )
+    # literal string bytes \x01 and 'abc' through the map; 'Z' (0x5A) is
+    # unmapped -> latin-1 fallback keeps it readable
+    content = b"BT /F1 12 Tf (\x01Zabc) Tj ET"
+    assert extract_pdf_text(_tounicode_pdf(cmap, content)) == ["ÜZwxyy"]
+
+
+def test_pdf_font_switch_resets_decoding():
+    """/F2 has no ToUnicode -> switching to it returns to latin-1; a Tf for
+    an unknown resource keeps the current font (real files reference fonts
+    from inherited resource dicts we may not see)."""
+    pdf = (
+        b"%PDF-1.5\n"
+        + _pdf_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _pdf_obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        + _pdf_obj(
+            3,
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 7 0 R /F2 9 0 R >> >> >>",
+        )
+        + _pdf_stream_obj(4, b"BT /F1 12 Tf <0001> Tj /F2 12 Tf (\x01) Tj ET")
+        + _pdf_obj(7, b"<< /Type /Font /ToUnicode 8 0 R >>")
+        + _pdf_stream_obj(
+            8,
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"1 beginbfchar\n<0001> <4F60>\nendbfchar\n",
+        )
+        + _pdf_obj(9, b"<< /Type /Font /Subtype /Type1 >>")  # no ToUnicode
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == ["你\x01"]
+
+
+def test_pdf_utf16_bom_string_without_fonts():
+    """Text strings with a UTF-16BE BOM decode as UTF-16BE even with no
+    font machinery at all (PDF 32000-1 §7.9.2.2)."""
+    s = "﻿Grüße".encode("utf-16-be")
+    pdf = b"%PDF-1.4\nBT (" + s + b") Tj ET"
+    assert extract_pdf_text(pdf) == ["Grüße"]
