@@ -12,6 +12,11 @@ Reference: submit / status / results / search / list / files
 - ``list``    → runs/chunks newest-first from lineage
 - ``files``   → committed data files from the manifest
 
+Beyond the reference's verbs: ``export`` (download tree), ``cancel``
+(cooperative, chunk-boundary), ``compact`` (bin-pack data files),
+``snapshots`` (history), ``expire`` (snapshot expiry + orphan-file
+removal), ``results --as-of`` (time travel).
+
 Usage: python -m mistral_ocr_spark.cli <verb> [...]
 """
 
@@ -86,7 +91,7 @@ def cmd_status(args) -> int:
 
 def cmd_results(args) -> int:
     spark = get_spark(app_name="ocr-results")
-    ext = catalog.read_extracted(spark, args.table)
+    ext = catalog.read_extracted(spark, args.table, as_of=args.as_of)
     rows = ext.filter(F.col("url") == args.url).select(
         "url", "text", "markdown", "error_class"
     ).collect()
@@ -180,6 +185,21 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_snapshots(args) -> int:
+    """Snapshot history — no Spark session needed (manifest metadata only)."""
+    for s in catalog.snapshots(args.table):
+        print(json.dumps(s))
+    return 0
+
+
+def cmd_expire(args) -> int:
+    """Maintenance: expire all but the newest --keep-last snapshots and
+    delete files referenced only by the expired ones (see
+    catalog.expire_snapshots for the Iceberg-contract details)."""
+    print(json.dumps(catalog.expire_snapshots(args.table, keep_last=args.keep_last)))
+    return 0
+
+
 def cmd_files(args) -> int:
     """Manifest summary + the input-file registry (the reference `files`
     verb covers both sides: simple_client.py:82-96 input registry and the
@@ -240,7 +260,18 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("results", help="extracted rows for a url")
     s.add_argument("--table", required=True)
     s.add_argument("--url", required=True)
+    s.add_argument("--as-of", type=int, default=None, dest="as_of",
+                   help="time-travel: read the table AS OF this snapshot id")
     s.set_defaults(func=cmd_results)
+
+    s = sub.add_parser("snapshots", help="snapshot history (Iceberg snapshots table analog)")
+    s.add_argument("--table", required=True)
+    s.set_defaults(func=cmd_snapshots)
+
+    s = sub.add_parser("expire", help="expire old snapshots + delete orphaned files")
+    s.add_argument("--table", required=True)
+    s.add_argument("--keep-last", type=int, default=3, dest="keep_last")
+    s.set_defaults(func=cmd_expire)
 
     s = sub.add_parser("search", help="substring search over extracted text")
     s.add_argument("--table", required=True)

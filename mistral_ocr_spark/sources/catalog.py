@@ -68,9 +68,15 @@ def _manifest_path(root: str, name: str) -> str:
     return os.path.join(root, _MANIFEST_DIR, name)
 
 
-def load_manifest(root: str) -> dict[str, Any]:
+def load_manifest(root: str, snapshot_id: int | None = None) -> dict[str, Any]:
     """Reader snapshot: whatever ``_CURRENT`` points at (complete by
-    construction — manifests appear atomically via link)."""
+    construction — manifests appear atomically via link). With
+    ``snapshot_id``, TIME-TRAVEL to that exact committed snapshot instead
+    (Iceberg ``VERSION AS OF``); raises FileNotFoundError when it never
+    existed or has been expired."""
+    if snapshot_id is not None:
+        with open(_manifest_path(root, f"manifest-{snapshot_id:012d}.json")) as f:
+            return {**_empty_manifest(), **json.load(f)}
     cur = os.path.join(root, _CURRENT)
     if not os.path.exists(cur):
         return _empty_manifest()
@@ -252,12 +258,17 @@ def _table_schema(m: dict[str, Any]):
     return EXTRACTED_TABLE_SCHEMA
 
 
-def read_extracted(spark: SparkSession, root: str) -> DataFrame:
+def read_extracted(
+    spark: SparkSession, root: str, as_of: int | None = None
+) -> DataFrame:
     """Committed extracted rows (snapshot-consistent), read under the
     manifest's evolved schema: files written before a column was added
     surface that column as NULL (parquet missing-column projection) — the
-    reader-side half of additive schema evolution."""
-    m = load_manifest(root)
+    reader-side half of additive schema evolution. ``as_of`` reads the
+    table AS OF that snapshot id (time travel): manifests are immutable
+    and data files are append-only until expired, so the historical read
+    is exactly the bytes that snapshot committed."""
+    m = load_manifest(root, as_of)
     return _read_files(spark, m["data_files"], _table_schema(m))
 
 
@@ -267,7 +278,9 @@ def read_lineage(spark: SparkSession, root: str) -> DataFrame:
     return _read_files(spark, load_manifest(root)["lineage_files"], LINEAGE_SCHEMA)
 
 
-def read_extracted_latest(spark: SparkSession, root: str) -> DataFrame:
+def read_extracted_latest(
+    spark: SparkSession, root: str, as_of: int | None = None
+) -> DataFrame:
     """Committed extracted rows with MERGE/upsert read semantics: when a url
     was re-extracted and committed later, the later COMMIT wins — resolved
     by the manifest's per-file commit sequence (``file_seq``), the Iceberg
@@ -284,8 +297,8 @@ def read_extracted_latest(spark: SparkSession, root: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    m = load_manifest(root)
-    ext = read_extracted(spark, root)
+    m = load_manifest(root, as_of)
+    ext = read_extracted(spark, root, as_of)
     order = [F.desc("run_id"), F.desc("extractor_version")]
     drop = ["_rn"]
     if m["file_seq"]:
@@ -497,6 +510,79 @@ def compact(
             except OSError:
                 pass
     return new
+
+
+def snapshots(root: str) -> list[dict[str, Any]]:
+    """The table's snapshot history (the Iceberg ``snapshots`` metadata-table
+    analog): one summary row per retained manifest, oldest first."""
+    d = os.path.join(root, _MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(n for n in os.listdir(d) if n.startswith("manifest-")):
+        with open(_manifest_path(root, name)) as f:
+            m = {**_empty_manifest(), **json.load(f)}
+        out.append(
+            {
+                "snapshot_id": m["snapshot_id"],
+                "parent": m["parent"],
+                "n_data_files": len(m["data_files"]),
+                "n_lineage_files": len(m["lineage_files"]),
+                "n_committed_chunks": sum(len(v) for v in m["committed_chunks"].values()),
+                "schema_version": m["schema_version"],
+            }
+        )
+    return out
+
+
+def expire_snapshots(
+    root: str, keep_last: int = 3, delete_orphan_files: bool = True
+) -> dict[str, Any]:
+    """Expire all but the newest ``keep_last`` snapshots (the Iceberg
+    ``expire_snapshots`` maintenance action): expired manifests are deleted,
+    and data/lineage/registry files referenced ONLY by expired snapshots are
+    removed from disk (``remove_orphan_files``). Files still referenced by
+    any retained snapshot survive, so current reads and time travel within
+    the retained window are unaffected; time travel past the horizon now
+    raises — exactly Iceberg's contract.
+
+    Like Iceberg, maintenance assumes a single maintenance actor; concurrent
+    COMMITS are safe (they only create strictly newer manifests, which are
+    always retained), concurrent expires are not coordinated.
+    """
+    d = os.path.join(root, _MANIFEST_DIR)
+    names = sorted(
+        n for n in os.listdir(d) if n.startswith("manifest-") and n.endswith(".json")
+    ) if os.path.isdir(d) else []
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    expired, retained = names[:-keep_last], names[-keep_last:]
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_files": 0, "retained": len(retained)}
+
+    def refs(name: str) -> set[str]:
+        with open(_manifest_path(root, name)) as f:
+            m = {**_empty_manifest(), **json.load(f)}
+        return set(m["data_files"]) | set(m["lineage_files"]) | set(m["input_file_files"])
+
+    live = set()
+    for name in retained:
+        live |= refs(name)
+    deleted = 0
+    for name in expired:
+        if delete_orphan_files:
+            for f in refs(name) - live:
+                try:
+                    os.remove(f)
+                    deleted += 1
+                except OSError:
+                    pass
+        os.remove(_manifest_path(root, name))
+    return {
+        "expired_snapshots": len(expired),
+        "deleted_files": deleted,
+        "retained": len(retained),
+    }
 
 
 def list_parquet_files(path: str) -> list[str]:

@@ -276,3 +276,49 @@ def test_concurrent_commits_all_land(table_root):
     assert committed == {(f"run-{i % 3}", i) for i in range(8)}
     assert len(m["data_files"]) == 8
     assert set(m["file_seq"].values()) == set(range(1, 9))
+
+
+def test_time_travel_and_snapshots_metadata(spark, table_root):
+    """VERSION AS OF semantics: a historical snapshot id reads exactly the
+    rows that snapshot committed, unaffected by later commits."""
+    pages = generate_pages(spark, 120, partitions=2)
+    pipeline.run(spark, pages, table_root, run_id="run-a", n_chunks=1, num_partitions=2)
+    s1 = catalog.load_manifest(table_root)["snapshot_id"]
+    pipeline.run(spark, pages, table_root, run_id="run-b", n_chunks=1, num_partitions=2)
+
+    now = catalog.read_extracted_latest(spark, table_root)
+    assert {r.run_id for r in now.select("run_id").distinct().collect()} == {"run-b"}
+    past = catalog.read_extracted_latest(spark, table_root, as_of=s1)
+    assert {r.run_id for r in past.select("run_id").distinct().collect()} == {"run-a"}
+    assert past.count() == 120
+
+    snaps = catalog.snapshots(table_root)
+    ids = [s["snapshot_id"] for s in snaps]
+    assert ids == sorted(ids) and ids[-1] == catalog.load_manifest(table_root)["snapshot_id"]
+    assert all(s["parent"] == i for i, s in zip(ids, snaps[1:]))
+
+
+def test_expire_snapshots_removes_orphans_keeps_live(spark, table_root):
+    """After compaction, the superseded small files are referenced only by
+    pre-compaction snapshots: expiring those snapshots must delete exactly
+    the orphaned files, keep everything the retained snapshot references,
+    and make time travel past the horizon raise."""
+    pages = generate_pages(spark, 150, partitions=2)
+    pipeline.run(spark, pages, table_root, run_id="run-a", n_chunks=2, num_partitions=2)
+    pre = catalog.load_manifest(table_root)
+    old_files = list(pre["data_files"])
+    catalog.compact(spark, table_root, target_rows_per_file=1000)
+
+    res = catalog.expire_snapshots(table_root, keep_last=1)
+    assert res["expired_snapshots"] >= 1
+    # superseded pre-compaction files are gone from disk
+    assert res["deleted_files"] == len(old_files)
+    assert not any(os.path.exists(f) for f in old_files)
+    # the retained snapshot still reads every row
+    assert catalog.read_extracted_latest(spark, table_root).count() == 150
+    # time travel past the horizon is refused, not silently wrong
+    with pytest.raises(FileNotFoundError):
+        catalog.load_manifest(table_root, snapshot_id=pre["snapshot_id"] - 1)
+    # resume state survives: a re-run extracts nothing new
+    m = catalog.load_manifest(table_root)
+    assert set(m["committed_chunks"]["run-a"]) == {0, 1}

@@ -113,3 +113,31 @@ def test_cli_submit_stream(table, capsys):
 
     assert cli.main(["status", "--table", tbl]) == 0
     assert "s-01" in capsys.readouterr().out
+
+
+def test_cli_snapshots_expire_and_time_travel(table, capsys):
+    tbl, root = table
+    assert cli.main(["submit", "--table", tbl, "--generate", "150", "--chunks", "2"]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["snapshots", "--table", tbl]) == 0
+    snaps = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(snaps) == 2 and snaps[-1]["snapshot_id"] == 2
+
+    # time-travel read at snapshot 1 (only chunk 0 committed)
+    from mistral_ocr_spark.sources import catalog
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    s1_rows = catalog.read_extracted(spark, tbl, as_of=1).count()
+    assert 0 < s1_rows < 150
+    row = catalog.read_extracted(spark, tbl, as_of=1).select("url").first()
+    assert cli.main(["results", "--table", tbl, "--url", row.url, "--as-of", "1"]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["compact", "--table", tbl, "--target-rows", "1000"]) == 0
+    capsys.readouterr()
+    assert cli.main(["expire", "--table", tbl, "--keep-last", "1"]) == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["expired_snapshots"] == 2 and res["retained"] == 1
+    assert catalog.read_extracted_latest(spark, tbl).count() == 150
