@@ -35,6 +35,10 @@ LANG_MARKERS = {
 }
 
 STOPWORDS = [" the ", " a ", " of ", " and ", " to "]
+# token form — web_quality_signals counts stop words by token EQUALITY on
+# the split words (padded-substring counting undercounts adjacent repeats:
+# ' the the ' contains only one non-overlapping ' the ')
+STOPWORD_TOKENS = [s.strip() for s in STOPWORDS]
 
 
 def _count_occurrences(col, needle: str):
@@ -110,64 +114,71 @@ def web_quality_signals(
 
     - ``n_words`` — whitespace token count.
     - ``mean_word_len`` — non-whitespace chars / words (Gopher keeps 3-10).
-    - ``stop_hits`` — occurrences of the fixed STOPWORDS list (Gopher's
-      "≥2 stop words" rule).
+    - ``stop_hits`` — tokens equal to the fixed stop list (Gopher's
+      "≥2 stop words" rule; token EQUALITY, see STOPWORD_TOKENS).
     - ``stop_density`` — stop_hits / n_words.
     - ``dup_word_frac`` — 1 - distinct words / words (repetition signal;
       Gopher's duplicate-line fraction collapses to word granularity on a
       one-line corpus).
     - ``top_word_frac`` — frequency of the most common word / n_words
-      (Gopher's top-n-gram coverage at n=1). Computed with the distributed
-      shape — explode → per-(doc,word) count → per-doc max — NOT a per-row
-      O(words²) array lambda, so the same plan holds on 100-TB input where
-      documents can be arbitrarily long.
+      (Gopher's top-n-gram coverage at n=1) — NOT a per-row O(words²)
+      array lambda, so the same plan holds on 100-TB input where documents
+      can be arbitrarily long.
     - ``gopher_pass`` / ``rep_pass`` — composite keep flags (int 0/1).
-
-    Everything except ``top_word_frac`` is whole-stage-codegen'd JVM
-    expressions; ``top_word_frac`` costs one wordcount-shaped shuffle plus a
-    per-doc aggregate, the canonical scalable plan for that statistic.
     """
-    t = F.trim(F.col(text_col))
-    words = F.split(t, r"\s+")
-    n_words = F.size(words).cast("bigint")
-    mean_wlen = F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / F.greatest(
-        n_words.cast("double"), F.lit(1.0)
-    )
-    p = _padded(t)
-    stop = sum((_count_occurrences(p, s) for s in STOPWORDS), F.lit(0).cast("double"))
-    dup_frac = F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / F.greatest(
-        n_words.cast("double"), F.lit(1.0)
-    )
-
-    base = df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        F.round(mean_wlen, 6).alias("mean_word_len"),
-        stop.cast("bigint").alias("stop_hits"),
-        F.round(stop / F.greatest(n_words.cast("double"), F.lit(1.0)), 6).alias(
-            "stop_density"
-        ),
-        F.round(dup_frac, 6).alias("dup_word_frac"),
-    )
-
-    # Distributed top-word coverage: explode → count per (doc, word) →
-    # max/sum per doc. Partial aggregation keeps the shuffle narrow; the
-    # join back to `base` is on the doc id (broadcast-able when the signal
-    # table is the small side, plain shuffle join otherwise — Catalyst/AQE
-    # picks).
-    top = (
-        df.select(F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w"))
+    # EVERY signal derives from the exploded (doc, word) stream, so the
+    # whole operator is one branch with ONE exchange: repartition the
+    # COMPACT (id, text) rows by doc id FIRST, then explode —
+    # HashPartitioning(doc) satisfies the clustered distribution of both
+    # the (doc, word) count and the per-doc rollup (doc ⊆ {doc, word}), so
+    # neither aggregation reshuffles, and what crosses the wire is the
+    # document bytes once, not 30×-fanout exploded word rows twice.
+    # Measured on a 1M-doc corpus (scripts/scaling_shuffle.py): 2.2× the
+    # throughput of the exploded-shuffle version and 4→16-core efficiency
+    # 0.69-0.78 → 0.84-0.92. (A still-earlier formulation joined a separate
+    # top-word aggregate onto per-row text signals: 3 exchanges + two SMJ
+    # sorts, ~2× slower again.) Skew note: partitioning is by doc id —
+    # uniform by construction; a single pathological multi-GB document
+    # bounds a partition exactly as it would bound any per-document
+    # operator. stop_hits counts word tokens in STOPWORD_TOKENS — equality
+    # on the split tokens, the exact-arithmetic form of Gopher's rule.
+    words = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w"),
+        )
         .groupBy(id_col, "_w")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy(id_col)
-        .agg(
-            F.round(
-                F.max("_c").cast("double") / F.sum("_c").cast("double"), 6
-            ).alias("top_word_frac")
-        )
     )
-
-    out = base.join(top, id_col)
+    n_words = F.sum("_c")
+    n_d = n_words.cast("double")
+    out = words.groupBy(id_col).agg(
+        n_words.cast("bigint").alias("n_words"),
+        F.round(
+            F.sum(F.length("_w") * F.col("_c")).cast("double")
+            / F.greatest(n_d, F.lit(1.0)),
+            6,
+        ).alias("mean_word_len"),
+        F.sum(F.when(F.col("_w").isin(STOPWORD_TOKENS), F.col("_c")).otherwise(0))
+        .cast("bigint")
+        .alias("stop_hits"),
+        F.round(
+            F.sum(F.when(F.col("_w").isin(STOPWORD_TOKENS), F.col("_c")).otherwise(0)).cast(
+                "double"
+            )
+            / F.greatest(n_d, F.lit(1.0)),
+            6,
+        ).alias("stop_density"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.greatest(n_d, F.lit(1.0)),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(F.max("_c").cast("double") / F.greatest(n_d, F.lit(1.0)), 6).alias(
+            "top_word_frac"
+        ),
+    )
     gopher = (
         (F.col("n_words") >= 50)
         & (F.col("n_words") <= 100000)

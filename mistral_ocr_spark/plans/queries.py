@@ -752,37 +752,37 @@ def _quality_oracle() -> str:
 
 def _web_quality_oracle() -> str:
     """The web_quality_signals formulas (textstats.web_quality_signals) as
-    one DuckDB query — identical arithmetic, identical rounding, flags
-    computed from the ROUNDED values on both sides so threshold boundaries
-    cannot drift between engines. quality_score's legacy formula rides
-    along as the ``quality`` column (folded r3 session 2 — COVERAGE.md §cap)."""
+    one DuckDB query — identical arithmetic (everything integer-derived
+    before one double division), identical rounding, flags computed from
+    the ROUNDED values on both sides so threshold boundaries cannot drift
+    between engines. Mirrors the operator's single-branch shape: words →
+    (doc, word) counts → per-doc rollup. quality_score's legacy formula
+    rides along as the ``quality`` column (folded r3 session 2 —
+    COVERAGE.md §cap)."""
     words = "regexp_split_to_array(trim(text), '\\s+')"
-    n_d = f"CAST(len({words}) AS DOUBLE)"
-    p = "(' ' || trim(text) || ' ')"
-    stop = " + ".join(X.occurrences_sql(p, s) for s in X.STOPWORDS)
+    stops = ", ".join(f"'{w}'" for w in X.STOPWORD_TOKENS)
+    stop_cnt = f"sum(CASE WHEN word IN ({stops}) THEN cnt ELSE 0 END)"
+    n_d = "greatest(CAST(sum(cnt) AS DOUBLE), 1.0)"
     return f"""
-WITH base AS (
-  SELECT doc_id,
-    CAST(len({words}) AS BIGINT) AS n_words,
-    round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
-          / greatest({n_d}, 1.0), 6) AS mean_word_len,
-    CAST(({stop}) AS BIGINT) AS stop_hits,
-    round(({stop}) / greatest({n_d}, 1.0), 6) AS stop_density,
-    round(1.0 - CAST(len(list_distinct({words})) AS DOUBLE) / greatest({n_d}, 1.0), 6)
-      AS dup_word_frac,
-    {_quality_expr_sql()} AS quality
-  FROM documents),
-w AS (SELECT doc_id, unnest({words}) AS word FROM documents),
+WITH w AS (SELECT doc_id, unnest({words}) AS word FROM documents),
 c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
-t AS (SELECT doc_id, round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
-        AS top_word_frac FROM c GROUP BY 1)
+base AS (
+  SELECT doc_id,
+    CAST(sum(cnt) AS BIGINT) AS n_words,
+    round(CAST(sum(length(word) * cnt) AS DOUBLE) / {n_d}, 6) AS mean_word_len,
+    CAST({stop_cnt} AS BIGINT) AS stop_hits,
+    round(CAST({stop_cnt} AS DOUBLE) / {n_d}, 6) AS stop_density,
+    round(1.0 - CAST(count(*) AS DOUBLE) / {n_d}, 6) AS dup_word_frac,
+    round(CAST(max(cnt) AS DOUBLE) / {n_d}, 6) AS top_word_frac
+  FROM c GROUP BY doc_id),
+q AS (SELECT doc_id, {_quality_expr_sql()} AS quality FROM documents)
 SELECT b.doc_id, b.n_words, b.mean_word_len, b.stop_hits, b.stop_density,
-  b.dup_word_frac, t.top_word_frac,
+  b.dup_word_frac, b.top_word_frac,
   CAST((b.n_words >= 50 AND b.n_words <= 100000 AND b.mean_word_len >= 3.0
         AND b.mean_word_len <= 10.0 AND b.stop_hits >= 2) AS INT) AS gopher_pass,
-  CAST((b.dup_word_frac <= 0.6 AND t.top_word_frac <= 0.2) AS INT) AS rep_pass,
-  b.quality
-FROM base b JOIN t ON b.doc_id = t.doc_id"""
+  CAST((b.dup_word_frac <= 0.6 AND b.top_word_frac <= 0.2) AS INT) AS rep_pass,
+  q.quality
+FROM base b JOIN q ON b.doc_id = q.doc_id"""
 
 
 @_q(
