@@ -135,3 +135,35 @@ def test_extraction_plan_has_exactly_one_shuffle(spark):
     ext = extract_pages(salted_repartition(generate_pages(spark, 100, partitions=2), 4))
     plan = ext._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan[:800]
+
+
+def test_web_quality_signals_single_exchange(spark):
+    """The quality-signal operator must keep its one-exchange shape:
+    repartition(doc_id) before explode satisfies BOTH downstream
+    aggregations (doc ⊆ {doc, word}), so any second Exchange is a
+    regression to the 30×-fanout double shuffle."""
+    from mistral_ocr_spark.operators.textstats import web_quality_signals
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = web_quality_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:800]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_connected_components_rounds_are_relational(spark):
+    """Each large-star/small-star round must stay pure join+min-aggregate:
+    no adjacency-list materialization (collect_list → a degree-10^9 node
+    lands on one task) and no cartesian product."""
+    from mistral_ocr_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(200) if i != (i * 7) % 50], ["id_a", "id_b"]
+    )
+    canon = graph._canonical(
+        edges.selectExpr("id_a as src", "id_b as dst")
+    )
+    for step in (graph._large_star(canon), graph._small_star(canon)):
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" not in plan and "CollectList" not in plan
+        assert "CartesianProduct" not in plan
+        assert "partial_min" in plan or "partial" in plan  # map-side combine
