@@ -18,7 +18,11 @@ from mistral_ocr_spark import EXTRACTOR_VERSION
 from mistral_ocr_spark.extractor.classify import classify
 from mistral_ocr_spark.extractor.decode import decode_html
 from mistral_ocr_spark.extractor.parser import parse_document
-from mistral_ocr_spark.extractor.pdf import PDF_MAGIC, extract_pdf_text
+from mistral_ocr_spark.extractor.pdf import (
+    PDF_MAGIC,
+    extract_pdf_text,
+    is_encrypted_pdf,
+)
 from mistral_ocr_spark.extractor.render import render
 
 _WS_RE = re.compile(r"\s+")
@@ -29,7 +33,7 @@ class ExtractResult:
     text: str | None
     markdown: str | None
     spans: list[tuple[int, int, str]]
-    error_class: str | None  # empty | unsupported_pdf | no_content | None
+    error_class: str | None  # empty | unsupported_pdf | encrypted_pdf | no_content | None
     encoding: str | None
     images: tuple[str, ...] = ()  # non-chrome <img src> values, doc order
     extractor_version: str = EXTRACTOR_VERSION
@@ -56,6 +60,8 @@ def extract(html: bytes | None, fallback_text: str | None = None) -> ExtractResu
         return ExtractResult(None, None, [], "empty", None)
 
     if html[:5] == PDF_MAGIC:
+        if is_encrypted_pdf(html):
+            return ExtractResult(None, None, [], "encrypted_pdf", None)
         paras = extract_pdf_text(html)
         if paras is None:
             return ExtractResult(None, None, [], "unsupported_pdf", None)

@@ -49,6 +49,16 @@ import zlib
 
 PDF_MAGIC = b"%PDF-"
 
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R|/Encrypt\s*<<")
+
+
+def is_encrypted_pdf(raw: bytes) -> bool:
+    """True when the trailer declares an /Encrypt dictionary: strings and
+    streams are then RC4/AES-encrypted, so text 'extraction' would emit
+    deterministic garbage — the caller surfaces ``encrypted_pdf`` instead
+    (typed per-row error, like the reference's error_files side channel)."""
+    return _ENCRYPT_RE.search(raw) is not None
+
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)

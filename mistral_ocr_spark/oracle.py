@@ -19,7 +19,11 @@ from mistral_ocr_spark.extractor.classify import classify
 from mistral_ocr_spark.extractor.core import ExtractResult, _normalize
 from mistral_ocr_spark.extractor.decode import decode_html
 from mistral_ocr_spark.extractor.parser import parse_document
-from mistral_ocr_spark.extractor.pdf import PDF_MAGIC, extract_pdf_text
+from mistral_ocr_spark.extractor.pdf import (
+    PDF_MAGIC,
+    extract_pdf_text,
+    is_encrypted_pdf,
+)
 from mistral_ocr_spark.extractor.render import render
 
 
@@ -34,6 +38,8 @@ def extract_reference(html: bytes | None, fallback_text: str | None = None) -> E
     if not html.strip():
         return ExtractResult(None, None, [], "empty", None)
     if html[:5] == PDF_MAGIC:
+        if is_encrypted_pdf(html):
+            return ExtractResult(None, None, [], "encrypted_pdf", None)
         paras = extract_pdf_text(html)
         if paras is None:
             return ExtractResult(None, None, [], "unsupported_pdf", None)

@@ -402,3 +402,17 @@ def test_pdf_utf16_bom_string_without_fonts():
     s = "﻿Grüße".encode("utf-16-be")
     pdf = b"%PDF-1.4\nBT (" + s + b") Tj ET"
     assert extract_pdf_text(pdf) == ["Grüße"]
+
+
+def test_pdf_encrypted_surfaces_typed_error():
+    """/Encrypt in the trailer → strings/streams are RC4/AES-encrypted;
+    extraction must fail TYPED (encrypted_pdf), not emit garbage text."""
+    pdf = (
+        b"%PDF-1.6\n1 0 obj\nBT (ciphertextnoise) Tj ET\nendobj\n"
+        b"trailer\n<< /Root 9 0 R /Encrypt 5 0 R >>\n%%EOF"
+    )
+    r = extract(pdf)
+    assert r.error_class == "encrypted_pdf" and r.text is None
+    from mistral_ocr_spark.oracle import extract_reference
+
+    assert extract_reference(pdf).error_class == "encrypted_pdf"
