@@ -179,7 +179,17 @@ class _BlockBuilder:
 
     def _flush(self) -> None:
         c = self._cur
-        if c.parts and c.text:
+        p = c.parts
+        if not p:
+            return
+        # Fast path: the inter-tag "\n"/indent data event accumulates as one
+        # whitespace-only part at EVERY block boundary — skip the join +
+        # whitespace-collapse regex for it (c.text would be "" and the block
+        # dropped; _sync_cur clears the parts either way). Byte-identical:
+        # str.strip() and \s agree on every character _WS_RE collapses.
+        if len(p) == 1 and not p[0].strip():
+            return
+        if c.text:
             self.blocks.append(c)
             self._cur = Block()
 
