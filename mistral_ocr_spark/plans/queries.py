@@ -56,9 +56,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Flagship: byte-identical text AND markdown per url in one hash-checked
     # row (markdown was a separate query through r2; folded in r3 so the
     # whole registry fits the driver's 50-query cap — COVERAGE.md §cap).
+    # doc_id % 25 == 7 rows are PDFs (fixtures.pages_from_documents, half of
+    # them hex-string + ROT1 /ToUnicode CMap): text is identical by
+    # construction; pdf markdown is the plain text (no heading prefix).
     "pipeline_extract",
     f"SELECT {URL_SQL} AS url, {ORACLE_TEXT_SQL} AS text, "
-    f"{ORACLE_MD_SQL} AS markdown FROM documents",
+    f"CASE WHEN doc_id % 25 = 7 THEN {ORACLE_TEXT_SQL} ELSE {ORACLE_MD_SQL} END "
+    f"AS markdown FROM documents",
 )
 def pipeline_extract(spark, sf_dir):
     pages = pages_from_documents(spark, sf_dir)
@@ -67,15 +71,17 @@ def pipeline_extract(spark, sf_dir):
 
 @_q(
     # Span offsets + image extraction (spec req. §1:3) in one hash-checked
-    # row (pipeline_images folded in, r3 — COVERAGE.md §cap).
+    # row (pipeline_images folded in, r3 — COVERAGE.md §cap). PDF rows
+    # (doc_id % 25 == 7): both spans are paragraphs, no images.
     "pipeline_spans",
     f"""SELECT {URL_SQL} AS url,
        CAST(2 AS BIGINT) AS n_spans,
        CAST(length('Doc ' || doc_id) AS BIGINT) AS heading_end,
        CAST(length({ORACLE_TEXT_SQL}) AS BIGINT) AS body_end,
-       'heading' AS first_kind,
-       CAST(1 AS BIGINT) AS n_images,
-       '/img/doc-' || doc_id || '.png' AS first_image
+       CASE WHEN doc_id % 25 = 7 THEN 'paragraph' ELSE 'heading' END AS first_kind,
+       CAST(CASE WHEN doc_id % 25 = 7 THEN 0 ELSE 1 END AS BIGINT) AS n_images,
+       CASE WHEN doc_id % 25 = 7 THEN CAST(NULL AS VARCHAR)
+            ELSE '/img/doc-' || doc_id || '.png' END AS first_image
        FROM documents""",
 )
 def pipeline_spans(spark, sf_dir):
@@ -87,7 +93,8 @@ def pipeline_spans(spark, sf_dir):
         F.element_at("spans", 2)["end"].cast("bigint").alias("body_end"),
         F.element_at("spans", 1)["kind"].alias("first_kind"),
         F.size("images").cast("bigint").alias("n_images"),
-        F.element_at("images", 1).alias("first_image"),
+        # try_: PDF rows have no images — element_at on [] throws under ANSI
+        F.try_element_at("images", F.lit(1)).alias("first_image"),
     )
 
 

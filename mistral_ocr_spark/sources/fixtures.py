@@ -79,13 +79,77 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "</footer></body></html>"
         ),
     )
+    # PDF rows (driver-oracled end-to-end since r3): doc_id % 25 == 7 rows
+    # carry a PDF instead of HTML — the extracted text is IDENTICAL by
+    # construction ('Doc N' paragraph + the normalized document text), so
+    # ORACLE_TEXT_SQL needs no change; pipeline_extract/pipeline_spans CASE
+    # on doc_id % 25 for the pdf-specific outputs (markdown == text, spans
+    # are two paragraphs, no images). Two sub-variants:
+    # - literal-string PDF (escaped \\ \( \)), byte-order scan path;
+    # - doc_id % 50 == 32: page tree + /Resources font whose /ToUnicode
+    #   CMap is a ROT1 map (codes = char+1, bfrange <21><7a> → U+0020…) and
+    #   the content uses <hex> strings — the hash check then covers CMap
+    #   font decoding through the distributed pipeline, because ignoring
+    #   the CMap would garble every one of these rows.
+    did = F.col("doc_id").cast("string")
+    esc_pdf = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("\\"), F.lit("\\\\")),
+            F.lit("("),
+            F.lit("\\("),
+        ),
+        F.lit(")"),
+        F.lit("\\)"),
+    )
+    lit_pdf = F.concat(
+        F.lit("%PDF-1.4\n1 0 obj\nBT (Doc "),
+        did,
+        F.lit(") Tj ET\nBT ("),
+        esc_pdf,
+        F.lit(") Tj ET\nendobj"),
+    )
+
+    def rot1hex(col):
+        return F.concat_ws(
+            "",
+            F.transform(F.split(col, ""), lambda c: F.lpad(F.hex(F.ascii(c) + 1), 2, "0")),
+        )
+
+    cmap = (
+        "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        "1 beginbfrange\n<21> <7a> <0020>\nendbfrange"
+    )
+    tounicode_pdf = F.concat(
+        F.lit(
+            "%PDF-1.4\n"
+            "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            "/Resources << /Font << /F1 7 0 R >> >> >>\nendobj\n"
+            "4 0 obj\n<< >>\nstream\nBT /F1 12 Tf <"
+        ),
+        rot1hex(F.concat(F.lit("Doc "), did)),
+        F.lit("> Tj ET\nBT /F1 12 Tf <"),
+        rot1hex(F.col("text")),
+        F.lit(
+            "> Tj ET\nendstream\nendobj\n"
+            "7 0 obj\n<< /Type /Font /ToUnicode 8 0 R >>\nendobj\n"
+            "8 0 obj\n<< >>\nstream\n" + cmap + "\nendstream\nendobj\n"
+            "trailer\n<< /Root 1 0 R >>\n%%EOF"
+        ),
+    )
+    body = (
+        F.when(F.col("doc_id") % 50 == 32, tounicode_pdf)
+        .when(F.col("doc_id") % 25 == 7, lit_pdf)
+        .otherwise(html_str)
+    )
     return docs.select(
         F.expr(URL_SQL).alias("url"),
         (
             F.to_timestamp(F.lit("2024-01-01 10:00:00"))
             + F.make_interval(secs=F.col("doc_id").cast("double"))
         ).alias("warc_ts"),
-        F.encode(html_str, "UTF-8").alias("html"),
+        F.encode(body, "UTF-8").alias("html"),
         F.lit(None).cast("string").alias("text"),
         F.col("lang").alias("lang"),
     )
