@@ -34,6 +34,48 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_width: float,
+    on: str | None = None,
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair with
+    ``start <= point.ts < end`` (and equal ``on`` key when given).
+
+    Without an equality key Catalyst plans ``l.ts BETWEEN r.start AND
+    r.end`` as a broadcast nested loop — O(|P|·|I|). The scalable shape is
+    BUCKET DECOMPOSITION: pick a width, explode each interval into the
+    buckets it covers, map each point to its single bucket, hash-join on
+    the bucket (+ key), and filter the exact containment predicate. A
+    point lives in exactly one bucket, so every qualifying pair matches
+    exactly once — no post-join dedup. Cost: one equi-join of
+    |P| + |I|·(avg interval length / width) rows; ``bucket_width`` trades
+    interval fan-out against join selectivity and should be near the
+    typical interval length.
+
+    ``ts``/``start``/``end`` are numeric (epoch seconds/micros for time —
+    cast timestamps first); intervals are half-open [start, end).
+    Skew note: an interval spanning k buckets emits k rows (bounded,
+    chosen by the caller); a bucket holding many points/intervals is
+    ordinary hash-join skew, which AQE's skew-join splitting handles.
+    """
+    w = F.lit(bucket_width)
+    pts = points.withColumn("_b", F.floor(F.col(ts) / w))
+    ivl = intervals.withColumn(
+        "_b", F.explode(F.sequence(F.floor(F.col(start) / w), F.floor(F.col(end) / w)))
+    )
+    keys = ["_b"] + ([on] if on else [])
+    return (
+        pts.join(ivl, keys)
+        .filter((F.col(start) <= F.col(ts)) & (F.col(ts) < F.col(end)))
+        .drop("_b")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -88,3 +88,60 @@ def test_plan_is_single_shuffle_no_range_join(spark):
     # the union-merge shape: exactly one exchange for the window, plus at
     # most one for the right-side pre-dedup aggregate on the same key
     assert plan.count("Exchange") <= 2
+
+
+def test_range_join_matches_duckdb_inequality_join(spark):
+    """Bucket-decomposed point-in-interval join vs DuckDB's plain
+    inequality join on the same data — including intervals spanning many
+    buckets, zero-length intervals, boundary hits, and a keyed variant."""
+    import random
+
+    from mistral_ocr_spark.operators.joins import range_join
+
+    rng = random.Random(3)
+    pts = [(i, rng.randrange(0, 1000), rng.choice("ab")) for i in range(300)]
+    ivs = []
+    for j in range(80):
+        s = rng.randrange(0, 950)
+        ivs.append((j, s, s + rng.choice([0, 3, 17, 240]), rng.choice("ab")))
+    pdf = spark.createDataFrame(pts, ["pid", "ts", "k"])
+    idf = spark.createDataFrame(ivs, ["iid", "s", "e", "k2"])
+
+    out = range_join(pdf, idf, ts="ts", start="s", end="e", bucket_width=16)
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(pid INT, ts INT, k VARCHAR)")
+    con.execute("CREATE TABLE i(iid INT, s INT, e INT, k2 VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?,?,?)", pts)
+    con.executemany("INSERT INTO i VALUES (?,?,?,?)", ivs)
+    want = sorted(
+        con.execute("SELECT pid, iid FROM p, i WHERE s <= ts AND ts < e").fetchall()
+    )
+    assert got == want and len(want) > 100  # non-trivial match volume
+
+    # keyed variant: equality on k in addition to containment
+    keyed = range_join(
+        pdf, idf.withColumnRenamed("k2", "k"), ts="ts", start="s", end="e",
+        bucket_width=16, on="k",
+    )
+    got_k = sorted((r.pid, r.iid) for r in keyed.collect())
+    want_k = sorted(
+        con.execute(
+            "SELECT pid, iid FROM p, i WHERE s <= ts AND ts < e AND p.k = i.k2"
+        ).fetchall()
+    )
+    con.close()
+    assert got_k == want_k
+
+
+def test_range_join_plan_is_hash_join_not_nested_loop(spark):
+    from mistral_ocr_spark.operators.joins import range_join
+
+    pdf = spark.createDataFrame([(1, 5)], ["pid", "ts"])
+    idf = spark.createDataFrame([(1, 0, 10)], ["iid", "s", "e"])
+    plan = (
+        range_join(pdf, idf, ts="ts", start="s", end="e", bucket_width=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
