@@ -486,6 +486,76 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (GPT-3 Appendix C / FineWeb-style)
+# ---------------------------------------------------------------------------
+
+def with_ngram_hashes(
+    docs: DataFrame,
+    n: int,
+    text_col: str = "text",
+    out_col: str = "ngram_hashes",
+) -> DataFrame:
+    """Distinct word-n-gram hash array per doc — ``with_shingle_hashes``
+    generalized to arbitrary n (one ``xxhash64(w_i..w_{i+n-1})`` per gram,
+    no gram string materialized). Documents shorter than n words hash the
+    whole normalized text as their single gram."""
+    w = F.col("_words")
+    cnt = F.greatest(F.size(w) - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.xxhash64(*[F.element_at(w, i + j) for j in range(n)]),
+    )
+    out = F.when(
+        F.size(w) < n, F.array(F.xxhash64(F.array_join(w, " ")))
+    ).otherwise(F.array_distinct(grams))
+    return (
+        docs.withColumn("_words", F.split(F.trim(F.col(text_col)), r"\s+"))
+        .withColumn(out_col, out)
+        .drop("_words")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Flag training documents sharing ≥ ``min_hits`` distinct word-n-grams
+    with any benchmark/eval document (the GPT-3 Appendix-C 13-gram rule,
+    the same shape FineWeb-class pipelines use for eval decontamination).
+
+    Plan shape at 100 TB: the benchmark side (eval suites — thousands of
+    rows, not billions) is exploded to DISTINCT gram hashes and BROADCAST;
+    the corpus side explodes its grams once and hash-joins map-side, so
+    non-matching grams (the overwhelming majority) die without shuffling.
+    Only matching (doc, bench, gram) rows reach the per-pair aggregate.
+    Never an all-pairs comparison; never a driver-side set.
+
+    Returns one row per contaminated (doc, benchmark-doc) pair:
+    ``(id_col, bench_id_col, hits)`` — callers anti-join the corpus against
+    the distinct ids to drop, or keep the pairs for audit.
+    """
+    d = with_ngram_hashes(docs, n, text_col).select(
+        F.col(id_col), F.explode("ngram_hashes").alias("_g")
+    )
+    b = (
+        with_ngram_hashes(benchmark, n, text_col)
+        .select(F.col(bench_id_col), F.explode("ngram_hashes").alias("_g"))
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(b), "_g")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count_distinct("_g").cast("bigint").alias("hits"))
+        .filter(F.col("hits") >= min_hits)
+    )
+
+
+# ---------------------------------------------------------------------------
 # fixture augmentation: guaranteed near-dups (shared with the oracle SQL)
 # ---------------------------------------------------------------------------
 

@@ -269,3 +269,73 @@ def test_minhash_prefilter_margin_is_hoeffding_sized():
     import math
 
     assert math.exp(-2 * 64 * m * m) <= 1e-6 + 1e-12
+
+
+def test_decontaminate_matches_python_ngram_ground_truth(spark):
+    """13-gram decontamination vs an independent pure-Python n-gram-set
+    computation: planted exact overlaps flagged, 12-of-13-gram near misses
+    not flagged, min_hits threshold honored, short docs use the whole-text
+    rule."""
+    import random
+
+    from mistral_ocr_spark.operators.dedup import decontaminate
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(40)]
+
+    def sent(k):
+        return [rng.choice(vocab) for _ in range(k)]
+
+    bench_words = [sent(30) for _ in range(5)]
+    docs_words = []
+    for i in range(40):
+        w = sent(60)
+        if i % 7 == 0:  # plant a full 13-gram from a benchmark doc
+            src = bench_words[i % 5]
+            w[10:23] = src[4:17]
+        if i % 11 == 3:  # near miss: only 12 consecutive shared words
+            w[30:42] = bench_words[0][0:12]
+        docs_words.append(w)
+    docs_words.append(["short", "doc"])  # < n words: whole-text gram
+    bench_words.append(["short", "doc"])  # identical short text in bench
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(docs_words)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame(
+        [(j, " ".join(w)) for j, w in enumerate(bench_words)], ["bench_id", "text"]
+    )
+
+    def ngrams(w, n=13):
+        if len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    want = set()
+    want_hits = {}
+    for i, dw in enumerate(docs_words):
+        for j, bw in enumerate(bench_words):
+            hits = len(ngrams(dw) & ngrams(bw))
+            if hits >= 1:
+                want.add((i, j))
+                want_hits[(i, j)] = hits
+
+    out = decontaminate(docs, bench, n=13).collect()
+    got = {(r.doc_id, r.bench_id): r.hits for r in out}
+    assert set(got) == want
+    assert got == want_hits  # hit counts exact, not just membership
+    assert (len(docs_words) - 1, len(bench_words) - 1) in got  # short-doc rule
+    # threshold: min_hits=2 keeps only pairs with >= 2 shared grams
+    out2 = {(r.doc_id, r.bench_id) for r in decontaminate(docs, bench, n=13, min_hits=2).collect()}
+    assert out2 == {p for p, h in want_hits.items() if h >= 2}
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    from mistral_ocr_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(1, "a b c")], ["bench_id", "text"])
+    plan = (
+        decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan

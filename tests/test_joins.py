@@ -145,3 +145,30 @@ def test_range_join_plan_is_hash_join_not_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_join_random_matches_python_reference(spark):
+    """Property check on random data: the union-window as-of join must equal
+    the obvious per-row reference (max right.ts <= left.ts per key) across
+    duplicate timestamps, empty keys, and interleaved orders."""
+    import random
+
+    rng = random.Random(17)
+    lrows = [(rng.randrange(4), _ts(rng.randrange(60)), f"l{i}") for i in range(120)]
+    rrows = [(rng.randrange(5), _ts(rng.randrange(60)), i * 10) for i in range(80)]
+    left = spark.createDataFrame(lrows, ["k", "ts", "lv"])
+    right = spark.createDataFrame(rrows, ["k", "ts", "rv"])
+
+    # reference: dedup right per (k, ts) by max rv, then per left row take
+    # the row with the greatest ts <= left.ts
+    best = {}
+    for k, t, rv in rrows:
+        best[(k, t)] = max(best.get((k, t), rv), rv)
+    want = {}
+    for k, t, lv in lrows:
+        cand = [(t2, rv) for (k2, t2), rv in best.items() if k2 == k and t2 <= t]
+        want[lv] = max(cand)[1] if cand else None
+
+    out = asof_join(left, right, on="k", ts="ts")
+    got = {r.lv: r.rv_right for r in out.collect()}
+    assert got == want
