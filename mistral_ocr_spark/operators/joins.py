@@ -83,15 +83,25 @@ def asof_join(
     ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: every ``left`` row, plus the columns of the latest
-    ``right`` row with the same ``on`` key and ``right.ts <= left.ts``
-    (NULLs when no such row exists).
+    """Left as-of join: every ``left`` row, plus the columns of the nearest
+    ``right`` row with the same ``on`` key — the latest with
+    ``right.ts <= left.ts`` (``direction="backward"``, the default) or the
+    earliest with ``right.ts >= left.ts`` (``direction="forward"``);
+    NULLs when no such row exists.
+
+    Forward is backward run over the reversed timeline: the window sorts
+    descending and right rows still win ties (a right row AT the left
+    timestamp matches in both directions), so one implementation serves
+    both; cost is identical.
 
     ``right_cols``: right columns to carry (default: all except key+ts);
     each is emitted as ``<name><suffix>``, plus ``<ts><suffix>`` for the
     matched timestamp.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, ts)]
 
@@ -120,9 +130,10 @@ def asof_join(
         *[F.col(c) for c in carry],
     )
 
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_tag")
+        .orderBy(ts_order, F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = tagged_r.unionByName(tagged_l).select(

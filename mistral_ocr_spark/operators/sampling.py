@@ -1,0 +1,75 @@
+"""Deterministic sampling / split operators for training-data pipelines.
+
+`df.randomSplit` is seed-dependent AND partitioning-dependent (resampling
+on recompute, different rows at different parallelism) — useless when the
+split must be stable across reruns, resumes, and cluster sizes. The
+operators here derive membership from a HASH of a stable key, so the same
+row lands in the same split on every run, at any parallelism, with no
+shuffle and no state:
+
+- ``hash_split``: train/val/test (any number of named fractions) by
+  ``xxhash64(key, salt) mod D`` threshold ranges — one map-side filter per
+  split, no sort, no sample() nondeterminism.
+- ``stratified_sample``: per-stratum fraction by the same hash rule —
+  e.g. "keep 10% of every language" — exact-in-expectation per stratum
+  with deterministic membership, not a resampled approximation.
+
+Reference parity note: stevegsax/mistral-ocr has no sampling surface;
+this is training-data-pipeline breadth (the brief's 100-TB pipeline ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = 1_000_000  # hash buckets; fraction resolution 1e-6
+
+
+def _bucket(key_col: str, salt: str):
+    return F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(_DENOM))
+
+
+def hash_split(
+    df: DataFrame, key_col: str, fractions: dict[str, float], salt: str = "split-v1"
+) -> dict[str, DataFrame]:
+    """Disjoint, exhaustive-if-fractions-sum-to-1 named splits, stable in
+    the key: ``hash_split(docs, "url", {"train": 0.98, "val": 0.01,
+    "test": 0.01})``. Changing ``salt`` re-draws the whole assignment;
+    adding rows never moves existing ones between splits."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    b = _bucket(key_col, salt)
+    out: dict[str, DataFrame] = {}
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * _DENOM))
+        out[name] = df.filter((b >= lo) & (b < hi))
+        lo = hi
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float | dict[str, float],
+    stratum_col: str | None = None,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic sample: keep a row iff its key-hash bucket falls under
+    the (per-stratum) fraction. With ``fraction`` a dict, ``stratum_col``
+    selects the per-stratum rate (missing strata keep nothing); with a
+    float, one global rate. Pure map-side filter — no shuffle, no seed
+    state, identical membership at any parallelism."""
+    b = _bucket(key_col, salt)
+    if isinstance(fraction, dict):
+        if stratum_col is None:
+            raise ValueError("stratum_col required with per-stratum fractions")
+        expr = F.lit(False)
+        for stratum, frac in fraction.items():
+            expr = expr | (
+                (F.col(stratum_col) == stratum) & (b < int(round(frac * _DENOM)))
+            )
+        return df.filter(expr)
+    return df.filter(b < int(round(fraction * _DENOM)))

@@ -172,3 +172,52 @@ def test_asof_join_random_matches_python_reference(spark):
     out = asof_join(left, right, on="k", ts="ts")
     got = {r.lv: r.rv_right for r in out.collect()}
     assert got == want
+
+
+def test_asof_forward_direction_matches_duckdb(spark):
+    """direction='forward': earliest right row at-or-after each left row —
+    checked against DuckDB ASOF with the inequality flipped."""
+    left, right = _make(spark)
+    out = asof_join(left, right, on="k", ts="ts", direction="forward")
+    got = sorted((r.k, r.ts, r.lv, r.rv_right) for r in out.collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k INT, ts TIMESTAMP, lv VARCHAR)")
+    con.execute("CREATE TABLE r(k INT, ts TIMESTAMP, rv INT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", [tuple(r) for r in left.collect()])
+    con.executemany("INSERT INTO r VALUES (?,?,?)", [tuple(r) for r in right.collect()])
+    want = sorted(
+        con.execute(
+            "SELECT l.k, l.ts, l.lv, r.rv FROM l "
+            "ASOF LEFT JOIN r ON l.k = r.k AND l.ts <= r.ts"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    # spot checks: equal-ts still matches; no future row -> NULL
+    by_lv = {r.lv: r.rv_right for r in out.collect()}
+    assert by_lv["l-e"] == 70  # :07 matches the :07 click
+    assert by_lv["l-c"] == 60  # :05 -> earliest at-or-after is :06
+    assert by_lv["l-d"] is None
+
+
+def test_range_join_random_bucket_widths_agree(spark):
+    """Bucket width is a performance knob, never a correctness knob: wildly
+    different widths must produce the identical pair set."""
+    import random
+
+    from mistral_ocr_spark.operators.joins import range_join
+
+    rng = random.Random(23)
+    pts = [(i, rng.randrange(0, 500)) for i in range(150)]
+    ivs = [(j, s := rng.randrange(0, 480), s + rng.randrange(0, 60)) for j in range(50)]
+    pdf = spark.createDataFrame(pts, ["pid", "ts"])
+    idf = spark.createDataFrame(ivs, ["iid", "s", "e"])
+    results = [
+        sorted(
+            (r.pid, r.iid)
+            for r in range_join(pdf, idf, ts="ts", start="s", end="e", bucket_width=w).collect()
+        )
+        for w in (1, 7, 64, 1000)
+    ]
+    assert results[0] == results[1] == results[2] == results[3]
+    assert len(results[0]) > 50
