@@ -26,12 +26,24 @@ from pyspark.sql import functions as F
 _DENOM = 1_000_000  # hash buckets; fraction resolution 1e-6
 
 
-def _bucket(key_col: str, salt: str):
+def _bucket(key_col: str, salt: str, hash: str = "xxhash64"):
+    """Deterministic bucket in [0, _DENOM). ``hash="xxhash64"`` is the fast
+    JVM default; ``hash="md5"`` derives the bucket from the first 8 hex
+    digits of md5(key || '-' || salt) — byte-identical arithmetic exists in
+    any ANSI SQL engine (DuckDB: CAST('0x'||substr(md5(..),1,8) AS BIGINT)),
+    so md5-mode splits are value-oracle-checkable cross-engine."""
+    if hash == "md5":
+        h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"-{salt}")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(_DENOM)
     return F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(_DENOM))
 
 
 def hash_split(
-    df: DataFrame, key_col: str, fractions: dict[str, float], salt: str = "split-v1"
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split-v1",
+    hash: str = "xxhash64",
 ) -> dict[str, DataFrame]:
     """Disjoint, exhaustive-if-fractions-sum-to-1 named splits, stable in
     the key: ``hash_split(docs, "url", {"train": 0.98, "val": 0.01,
@@ -40,7 +52,7 @@ def hash_split(
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
-    b = _bucket(key_col, salt)
+    b = _bucket(key_col, salt, hash)
     out: dict[str, DataFrame] = {}
     lo = 0
     for name, frac in fractions.items():
@@ -56,13 +68,14 @@ def stratified_sample(
     fraction: float | dict[str, float],
     stratum_col: str | None = None,
     salt: str = "sample-v1",
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic sample: keep a row iff its key-hash bucket falls under
     the (per-stratum) fraction. With ``fraction`` a dict, ``stratum_col``
     selects the per-stratum rate (missing strata keep nothing); with a
     float, one global rate. Pure map-side filter — no shuffle, no seed
     state, identical membership at any parallelism."""
-    b = _bucket(key_col, salt)
+    b = _bucket(key_col, salt, hash)
     if isinstance(fraction, dict):
         if stratum_col is None:
             raise ValueError("stratum_col required with per-stratum fractions")

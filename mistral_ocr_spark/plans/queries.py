@@ -1096,12 +1096,20 @@ _QUALITY_WITH_TOKENS = _quality_oracle().replace(
     " AS n_tokens,",
 )
 
+# Deterministic train/holdout assignment (sampling.hash_split, md5 mode —
+# the cross-engine-portable bucket: first 8 hex digits of
+# md5(doc_id || '-trainset-v1') as an integer, mod 1e6, < 900000 → train).
+_SPLIT_SQL = (
+    "CASE WHEN CAST(('0x' || substr(md5(k.doc_id || '-trainset-v1'), 1, 8)) AS BIGINT) "
+    "% 1000000 < 900000 THEN 'train' ELSE 'holdout' END"
+)
+
 _TRAINSET_ORACLE = f"""WITH aug AS (SELECT doc_id, text FROM documents UNION ALL
                  SELECT doc_id + 200000, text FROM documents),
 keepers AS (SELECT md5(trim(regexp_replace(text, '{chr(92)}s+', ' ', 'g'))) AS fp,
                    CAST(min(doc_id) AS BIGINT) AS doc_id FROM aug GROUP BY 1),
 q AS ({_QUALITY_WITH_TOKENS})
-SELECT k.doc_id, q.quality, q.n_tokens FROM keepers k
+SELECT k.doc_id, q.quality, q.n_tokens, {_SPLIT_SQL} AS split FROM keepers k
 JOIN q ON k.doc_id = q.doc_id
 WHERE q.quality >= 0.5 AND q.n_tokens >= 20"""
 
@@ -1114,14 +1122,22 @@ WHERE q.quality >= 0.5 AND q.n_tokens >= 20"""
     _TRAINSET_ORACLE,
 )
 def trainset_select(spark, sf_dir):
+    from mistral_ocr_spark.operators import sampling as SM
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     aug = d.unionAll(d.select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
     keepers = D.exact_dedup(aug).select(F.col("keeper_id").alias("doc_id"))
     scored = X.with_quality_score(X.with_token_count(d))
+    bucket = SM._bucket("doc_id", "trainset-v1", hash="md5")
     return (
         keepers.join(scored, "doc_id")
         .filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
-        .select("doc_id", "quality", "n_tokens")
+        .select(
+            "doc_id",
+            "quality",
+            "n_tokens",
+            F.when(bucket < 900000, "train").otherwise("holdout").alias("split"),
+        )
     )
 
 
