@@ -73,14 +73,22 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return _canonical(out)
 
 
-def _frontier_fingerprint(edges: DataFrame) -> tuple[int, int]:
-    """Order-insensitive (count, checksum) of the edge set — the convergence
-    test. One tiny all-reduce per round."""
-    row = edges.agg(
+def _write_with_fingerprint(edges: DataFrame, path: str) -> tuple[int, int]:
+    """Write the frontier AND return its order-insensitive (count, xor
+    checksum) — the convergence test — from the SAME job via an
+    ``Observation``: metrics accumulate while rows stream to the sink, so
+    each round costs one Spark job, not a write plus a re-aggregation."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = edges.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    )
+    observed.write.mode("overwrite").parquet(path)
+    got = obs.get
+    return int(got["n"]), int(got["h"])
 
 
 def connected_components(
@@ -108,17 +116,14 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     )
     path = os.path.join(scratch_dir, "cc_frontier_0.parquet")
-    edges.write.mode("overwrite").parquet(path)
+    fp = _write_with_fingerprint(edges, path)
     edges = spark.read.parquet(path)
-    fp = _frontier_fingerprint(edges)
 
     for rnd in range(1, max_rounds + 1):
         nxt = _small_star(_large_star(edges))
         path = os.path.join(scratch_dir, f"cc_frontier_{rnd}.parquet")
-        nxt.write.mode("overwrite").parquet(path)
-        nxt = spark.read.parquet(path)
-        nfp = _frontier_fingerprint(nxt)
-        edges = nxt
+        nfp = _write_with_fingerprint(nxt, path)
+        edges = spark.read.parquet(path)
         if nfp == fp:
             break
         fp = nfp
