@@ -100,7 +100,10 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def web_quality_signals(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document web-corpus quality signals in the style of the published
     Gopher (Rae et al. 2021, §A1.1) and repetition filters used by
@@ -142,15 +145,21 @@ def web_quality_signals(
     # bounds a partition exactly as it would bound any per-document
     # operator. stop_hits counts word tokens in STOPWORD_TOKENS — equality
     # on the split tokens, the exact-arithmetic form of Gopher's rule.
+    carry = carry_cols or []
     words = (
-        df.select(F.col(id_col), F.col(text_col))
+        df.select(F.col(id_col), F.col(text_col), *[F.col(c) for c in carry])
         .repartition(F.col(id_col))
         .select(
             F.col(id_col),
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w"),
+            *[F.col(c) for c in carry],
         )
         .groupBy(id_col, "_w")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            # carried columns are constant per doc; first() is deterministic
+            *[F.first(c).alias(c) for c in carry],
+        )
     )
     n_words = F.sum("_c")
     n_d = n_words.cast("double")
@@ -178,6 +187,7 @@ def web_quality_signals(
         F.round(F.max("_c").cast("double") / F.greatest(n_d, F.lit(1.0)), 6).alias(
             "top_word_frac"
         ),
+        *[F.first(c).alias(c) for c in carry],
     )
     gopher = (
         (F.col("n_words") >= 50)
@@ -197,6 +207,7 @@ def web_quality_signals(
         "top_word_frac",
         gopher.cast("int").alias("gopher_pass"),
         rep.cast("int").alias("rep_pass"),
+        *carry,
     )
 
 

@@ -803,10 +803,11 @@ FROM base b JOIN q ON b.doc_id = q.doc_id"""
     _web_quality_oracle(),
 )
 def web_quality_filters(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    signals = X.web_quality_signals(d)
-    legacy = X.with_quality_score(d).select("doc_id", "quality")
-    return signals.join(legacy, "doc_id")
+    # The legacy quality column is computed on the compact rows and CARRIED
+    # through the operator's single exchange (constant per doc) — joining
+    # it back afterwards would cost a second exchange + two SMJ sorts.
+    d = X.with_quality_score(_t(spark, sf_dir, "documents"))
+    return X.web_quality_signals(d, carry_cols=["quality"])
 
 
 @_q(
