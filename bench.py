@@ -229,6 +229,14 @@ def main() -> None:
     result: dict = {"metric": "bench_total_sec", "unit": "sec", "sf": SF_DIR, "queries": {}}
     try:
         if not only_scaling:
+            # Window-health stamp for the per-query block: this VM's CPU
+            # entitlement varies over time (BENCH.md), and per-query wall
+            # times move 1.5-3x with it. A same-window spin-loop ceiling
+            # next to the numbers lets a reader distinguish a code
+            # regression from a throttled measurement window — cross-round
+            # per-query comparisons are only meaningful between windows
+            # with comparable ceilings.
+            result["machine_ceiling_query_window"] = _machine_ceiling(4)
             spark = get_spark(
                 app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
             )
