@@ -54,9 +54,15 @@ def hash_split(
         raise ValueError(f"fractions sum to {total} > 1")
     b = _bucket(key_col, salt, hash)
     out: dict[str, DataFrame] = {}
+    names = list(fractions)
     lo = 0
-    for name, frac in fractions.items():
-        hi = lo + int(round(frac * _DENOM))
+    for i, name in enumerate(names):
+        hi = lo + int(round(fractions[name] * _DENOM))
+        if i == len(names) - 1 and abs(total - 1.0) < 1e-9:
+            # last split absorbs the rounding remainder so full-sum splits
+            # are EXHAUSTIVE (three 1/3 fractions would otherwise strand
+            # one bucket in no split)
+            hi = _DENOM
         out[name] = df.filter((b >= lo) & (b < hi))
         lo = hi
     return out

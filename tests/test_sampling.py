@@ -74,3 +74,11 @@ def test_sampling_is_map_side_only(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure filter: no shuffle anywhere
+
+
+def test_hash_split_thirds_are_exhaustive(spark, sf_dir):
+    """Three 1/3 fractions: naive rounding strands one bucket; the last
+    split must absorb the remainder when fractions sum to 1."""
+    d = _docs(spark, sf_dir)
+    splits = hash_split(d, "doc_id", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert sum(v.count() for v in splits.values()) == d.count()
