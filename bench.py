@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "web_quality_filters",
     "dedup_clusters",
     "asof_join_events",
+    "ann_ivf_topk",
+    "decontaminate",
+    "range_join_clicks",
 ]
 
 

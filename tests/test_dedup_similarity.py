@@ -21,19 +21,36 @@ def _emb(spark, sf):
 
 
 def test_multiprobe_ann_fills_k_and_recall(spark):
-    """Hamming-ordered multi-probe (signature prescreen + exact rerank)
-    returns the full k and ≥0.9 recall@10 vs the exact brute-force ranking,
-    averaged over several query points — on the WORST case for ANN, a
-    near-uniform random corpus (top-10 cosines ≈ 0.3)."""
+    """Hamming-ordered multi-probe (signature prescreen + exact rerank) at
+    the RECALL-1 threshold (n_planes/2 - 1, the setting the driver query
+    pins) returns the full k and ≥0.9 recall@10 vs the exact brute-force
+    ranking, averaged over several query points — on the WORST case for
+    ANN, a near-uniform random corpus (top-10 cosines ≈ 0.3). The
+    function's own default (n_planes/4) targets clustered corpora and is
+    covered by test_multiprobe_default_retrieves_planted_twin."""
     emb = _emb(spark, SF01)
     recalls = []
     for qid in (0, 7, 42, 111, 303):
         exact = {r.vec_id for r in S.brute_force_topk(emb, qid, k=10).collect()}
-        approx_rows = S.signature_rerank_topk(emb, qid, k=10).collect()
+        approx_rows = S.signature_rerank_topk(emb, qid, k=10, max_hamming=63).collect()
         assert len(approx_rows) == 10, f"qid={qid}: ANN returned {len(approx_rows)} rows"
         recalls.append(len(exact & {r.vec_id for r in approx_rows}) / 10)
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.9, f"recall@10 {recalls} (avg {avg}) below 0.9"
+
+
+def test_multiprobe_default_retrieves_planted_twin(spark):
+    """The tightened default threshold (n_planes/4, VERDICT r3 #4 —
+    measured on the planted-cluster sweep, BENCH.md) must retrieve the
+    genuine near-dup (cos 0.92-0.99) as the TOP result for every probed
+    query while admitting only a sliver of the corpus to the rerank."""
+    emb = _perturbed_embeddings(spark, SF001)
+    for qid in (0, 2, 4, 96):  # vec_id % 97 spreads cos over [0.92, 0.99]
+        rows = S.signature_rerank_topk(emb, query_id=qid, k=3, vec_col="emb").collect()
+        assert rows, f"qid={qid}: no survivors at the default threshold"
+        assert rows[0].vec_id == qid + 100000, (
+            f"qid={qid}: planted twin not top-1, got {[r.vec_id for r in rows]}"
+        )
 
 
 def _perturbed_embeddings(spark, sf, lo=0.92, hi=0.99):
@@ -339,3 +356,33 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
         decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_signature_index_reuse_matches_and_skips_kernel(spark, tmp_path):
+    """VERDICT r3 #3: a persisted signature table makes the multi-probe
+    prescreen a parquet scan — results identical to the inline-kernel path,
+    and the query plan contains NO Python kernel (MapInPandas) anywhere."""
+    emb = _emb(spark, SF001)
+    idx = S.signature_index(emb, str(tmp_path / "sigs"))
+    inline = S.signature_rerank_topk(emb, query_id=0, k=10, max_hamming=63)
+    cached = S.signature_rerank_topk(
+        emb, query_id=0, k=10, max_hamming=63, sig_table=idx
+    )
+    assert [tuple(r) for r in inline.collect()] == [tuple(r) for r in cached.collect()]
+    plan = cached._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, f"signature kernel still in query path:\n{plan[:800]}"
+    assert "MapInPandas" in inline._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_bucket_index_reuse_matches_and_prunes(spark, tmp_path):
+    """Persisted bucket table (partitionBy(bucket)): identical top-k to the
+    inline path and the probe set reaches the scan as a partition filter."""
+    emb = _emb(spark, SF001)
+    idx = S.lsh_bucket_index(emb, str(tmp_path / "buckets"))
+    inline = S.lsh_topk(emb, query_id=3, k=10)
+    cached = S.lsh_topk(emb, query_id=3, k=10, bucket_table=idx)
+    assert [tuple(r) for r in inline.collect()] == [tuple(r) for r in cached.collect()]
+    plan = cached._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(bucket" in plan, (
+        f"probe set not pushed to partition pruning:\n{plan[:1200]}"
+    )

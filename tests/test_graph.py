@@ -105,3 +105,25 @@ def test_path_graph_converges_in_logarithmic_rounds(spark):
     out = connected_components(pdf, max_rounds=12)
     labels = {r.node: r.cluster_id for r in out.collect()}
     assert set(labels.values()) == {0} and len(labels) == n
+
+
+def test_frontier_scratch_bounded_and_stats(spark, tmp_path):
+    """VERDICT r3 #6: in-loop frontier deletion — at most 2 frontier tables
+    on disk after convergence (not one per round), and the stats dict
+    surfaces n_rounds + per-round edge counts."""
+    import os
+
+    # path graph 0-1-2-...-39: needs several large-star/small-star rounds
+    pairs = [(i, i + 1) for i in range(40)]
+    pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    stats = {}
+    scratch = str(tmp_path / "cc")
+    os.makedirs(scratch, exist_ok=True)
+    out = connected_components(pdf, scratch_dir=scratch, stats=stats)
+    labels = {r.node: r.cluster_id for r in out.collect()}
+    assert labels == {i: 0 for i in range(41)}
+    frontiers = [d for d in os.listdir(scratch) if d.startswith("cc_frontier_")]
+    assert len(frontiers) <= 2, f"frontier scratch not bounded: {sorted(frontiers)}"
+    assert stats["n_rounds"] >= 2
+    assert len(stats["edge_counts"]) == stats["n_rounds"] + 1
+    assert stats["edge_counts"][0] == 40

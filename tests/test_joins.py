@@ -221,3 +221,44 @@ def test_range_join_random_bucket_widths_agree(spark):
     ]
     assert results[0] == results[1] == results[2] == results[3]
     assert len(results[0]) > 50
+
+
+def test_asof_join_hot_key(spark):
+    """Skew fixture (VERDICT r3 #8): one key owns half of all rows — the
+    documented hot-key bound of the union-merge window. Output must stay
+    exact (vs DuckDB's native ASOF JOIN on the identical data); the hot
+    key's history serializes through one window partition by design."""
+    import random
+
+    rng = random.Random(99)
+    n_hot, n_cold_keys, per_cold = 20_000, 50, 400
+    left_rows, right_rows = [], []
+    for k, n in [(0, n_hot)] + [(k, per_cold) for k in range(1, n_cold_keys + 1)]:
+        for i in range(n):
+            t = _ts(0) + dt.timedelta(seconds=rng.randint(0, 10**6))
+            if rng.random() < 0.5:
+                left_rows.append((k, t, rng.randint(0, 10**9)))
+            else:
+                right_rows.append((k, t, rng.randint(0, 10**9)))
+    left = spark.createDataFrame(left_rows, ["k", "ts", "lv"]).repartition(8)
+    right = spark.createDataFrame(right_rows, ["k", "ts", "rv"]).repartition(8)
+    out = asof_join(left, right, on="k", ts="ts")
+    got = sorted((r.k, r.ts, r.lv, r.rv_right) for r in out.collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k INT, ts TIMESTAMP, lv BIGINT)")
+    con.execute("CREATE TABLE r(k INT, ts TIMESTAMP, rv BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", left_rows)
+    con.executemany("INSERT INTO r VALUES (?,?,?)", right_rows)
+    want = sorted(
+        con.execute(
+            # the operator's documented tie rule: duplicate right (k, ts)
+            # rows reduce to the max carried tuple before the as-of
+            "WITH r1 AS (SELECT k, ts, max(rv) AS rv FROM r GROUP BY k, ts) "
+            "SELECT l.k, l.ts, l.lv, r1.rv FROM l "
+            "ASOF LEFT JOIN r1 ON l.k = r1.k AND l.ts >= r1.ts"
+        ).fetchall()
+    )
+    con.close()
+    assert len(got) == len(left_rows)
+    assert got == want
