@@ -14,7 +14,8 @@ implemented directly (PDF 32000-1 §9.4 text objects):
   object (newline-joined in the output);
 - literal strings with all escape forms (named, octal, line continuation)
   and ``<hex>`` strings;
-- ``FlateDecode``-compressed content streams (inflated before scanning);
+- filtered content streams: FlateDecode, ASCIIHexDecode, ASCII85Decode,
+  RunLengthDecode, LZWDecode, and /Filter decode cascades (since 1.5.0);
 - document structure (since 1.3.0): catalog → /Pages tree walk so content
   reads in PAGE order even when objects are stored out of byte order
   (incremental updates, linearized files), /Contents arrays re-assembled
@@ -35,10 +36,14 @@ unchanged for documents without ToUnicode fonts.
 
 Anything without extractable text objects is surfaced as
 ``error_class='unsupported_pdf'`` (per-row error capture, the analog of the
-reference's error_files side channel, simple_client.py:630-664). Out of
-scope (documented, not silently wrong): nested unescaped parens in literal
-strings, non-Flate filters, CID fonts WITHOUT a ToUnicode CMap (bytes
-decode latin-1), cross-reference STREAM decoding (the object scan makes it
+reference's error_files side channel, simple_client.py:630-664). Stream
+filters (r4): FlateDecode, ASCIIHexDecode, ASCII85Decode, RunLengthDecode
+and LZWDecode, singly or as a decode cascade (§7.4) — image codecs
+(DCTDecode/JPX/JBIG2/CCITT) are skipped, not errors. Out of scope
+(documented, not silently wrong): nested unescaped parens in literal
+strings, stream /DecodeParms predictors (PNG/TIFF — xref-stream territory,
+not content streams), CID fonts WITHOUT a ToUnicode CMap (bytes decode
+latin-1), cross-reference STREAM decoding (the object scan makes it
 unnecessary for in-memory extraction).
 """
 
@@ -118,22 +123,192 @@ def _decode_hex(tok: bytes) -> bytes:
     return bytes.fromhex(hx.decode("ascii"))
 
 
-def _inflate_streams(raw: bytes) -> bytes:
-    """Append zlib-inflated content streams (FlateDecode — the standard
-    PDF content-stream filter) so BT/ET extraction sees compressed text
-    objects too. Non-zlib streams (images, other filters) are skipped.
-    Deterministic: streams are concatenated in document order."""
-    inflated: list[bytes] = []
-    for m in _STREAM_RE.finditer(raw):
-        body = m.group(1)
-        if body[:1] != b"\x78":  # zlib magic (0x78 = deflate, 32K window)
-            continue
+# --- stream filters (PDF 32000-1 §7.4) -------------------------------------
+# The standard content-stream filters: Flate plus the ASCII transports and
+# the legacy compressors crawled PDFs still carry (r3 declared these out of
+# scope; r4 ships them). /Filter may be a single name or an array listed in
+# DECODE order (§7.3.8.2); abbreviated names are the inline-image aliases.
+
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+
+
+def _declared_filters(dict_bytes: bytes) -> list[bytes]:
+    m = _FILTER_RE.search(dict_bytes)
+    return _NAME_RE.findall(m.group(1)) if m else []
+
+
+def _flate(data: bytes) -> bytes | None:
+    for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):  # zlib header, raw deflate
         try:
-            # decompressobj tolerates trailing \r\n before `endstream`
-            inflated.append(zlib.decompressobj().decompress(body))
+            return zlib.decompressobj(wbits).decompress(data)
         except zlib.error:
             continue
-    return raw + b"\n" + b"\n".join(inflated) if inflated else raw
+    return None
+
+
+def _ascii_hex_decode(data: bytes) -> bytes | None:
+    body = data.split(b">")[0]
+    hx = re.sub(rb"\s", b"", body)
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def _ascii85_decode(data: bytes) -> bytes | None:
+    import base64
+
+    cleaned = re.sub(rb"\s", b"", data)
+    if cleaned.endswith(b"~>"):
+        cleaned = cleaned[:-2]
+    if cleaned.startswith(b"<~"):
+        cleaned = cleaned[2:]
+    try:
+        return base64.a85decode(b"<~" + cleaned + b"~>", adobe=True)
+    except ValueError:
+        return None
+
+
+def _run_length_decode(data: bytes) -> bytes | None:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:  # EOD
+            return bytes(out)
+        if n < 128:
+            chunk = data[i + 1 : i + 2 + n]
+            if len(chunk) != n + 1:
+                return None
+            out += chunk
+            i += 2 + n
+        else:
+            if i + 1 >= len(data):
+                return None
+            out += data[i + 1 : i + 2] * (257 - n)
+            i += 2
+    return bytes(out)  # EOD missing but data exhausted cleanly
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
+    """PDF/TIFF-variant LZW (§7.4.4): 9→12-bit codes MSB-first, clear code
+    256, EOD 257, table restart on clear, and the ``EarlyChange`` default of
+    widening one code early. Malformed code sequences return None
+    (→ the stream is skipped, same policy as a bad Flate payload)."""
+    CLEAR, EOD = 256, 257
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    width, next_code = 9, 258
+    prev: bytes | None = None
+    bitbuf = bits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (bitbuf >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == CLEAR:
+                table.clear()
+                width, next_code, prev = 9, 258, None
+                continue
+            if code == EOD:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    return None
+                entry = bytes([code])
+                out += entry
+            else:
+                if code < 256:
+                    entry = bytes([code])
+                elif code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + prev[:1]  # the KwKwK case
+                else:
+                    return None
+                out += entry
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code + early - 1 >= (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return bytes(out)  # EOD missing but stream exhausted cleanly
+
+
+_FILTER_FNS: dict[bytes, object] = {
+    b"FlateDecode": _flate,
+    b"Fl": _flate,
+    b"ASCIIHexDecode": _ascii_hex_decode,
+    b"AHx": _ascii_hex_decode,
+    b"ASCII85Decode": _ascii85_decode,
+    b"A85": _ascii85_decode,
+    b"RunLengthDecode": _run_length_decode,
+    b"RL": _run_length_decode,
+    b"LZWDecode": _lzw_decode,
+    b"LZW": _lzw_decode,
+}
+
+
+def _apply_filters(data: bytes, names: list[bytes]) -> bytes | None:
+    """Run the declared decode cascade; None when any stage is unsupported
+    (DCTDecode images, JBIG2, crypt filters) or corrupt."""
+    for nm in names:
+        fn = _FILTER_FNS.get(nm)
+        if fn is None:
+            return None
+        data = fn(data)
+        if data is None:
+            return None
+    return data
+
+
+def _inflate_streams(raw: bytes) -> bytes:
+    """Append DECODED content streams so BT/ET extraction sees encoded text
+    objects too: zlib-sniffed Flate payloads (the standard filter) plus any
+    stream whose enclosing object declares a supported /Filter cascade
+    (ASCIIHex/ASCII85/RunLength/LZW, §7.4 — r4). Plain streams are already
+    in ``raw`` and are NOT re-appended (that would double-extract them);
+    undecodable/unsupported payloads (images) are skipped. Deterministic:
+    streams are concatenated in document order."""
+    decoded: list[bytes] = []
+    blank_spans: list[tuple[int, int]] = []
+    for m in _STREAM_RE.finditer(raw):
+        body = m.group(1)
+        if body[:1] == b"\x78":  # zlib magic (0x78 = deflate, 32K window)
+            try:
+                # decompressobj tolerates trailing \r\n before `endstream`
+                decoded.append(zlib.decompressobj().decompress(body))
+                blank_spans.append(m.span(1))
+                continue
+            except zlib.error:
+                pass
+        # nearest enclosing object start bounds the stream's own dict (the
+        # byte-order fallback has no object index to consult)
+        obj_start = raw.rfind(b"obj", 0, m.start())
+        names = _declared_filters(raw[max(obj_start, 0) : m.start()])
+        if names:  # zlib-sniffed streams never reach here (continue above)
+            d = _apply_filters(body, names)
+            if d:
+                decoded.append(d)
+            # an ENCODED body is noise to the BT/ET scan whether or not we
+            # could decode it (RunLength literals, DCT entropy bytes, ...)
+            # — excise it so accidental `BT ... ET` byte runs inside
+            # encoded payloads cannot surface as garbage text
+            blank_spans.append(m.span(1))
+    if not decoded and not blank_spans:
+        return raw
+    parts: list[bytes] = []
+    pos = 0
+    for s, e in blank_spans:
+        parts.append(raw[pos:s])
+        pos = e
+    parts.append(raw[pos:])
+    scanned = b"".join(parts)
+    return scanned + b"\n" + b"\n".join(decoded) if decoded else scanned
 
 
 # --- font decoding: ToUnicode CMaps --------------------------------------
@@ -292,13 +467,19 @@ _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
 
 
 def _stream_data(body: bytes) -> bytes | None:
-    """The (inflated, if Flate) stream payload of one object body. The EOL
-    preceding ``endstream`` is a delimiter, not data (PDF 32000-1 §7.3.8),
-    so exactly one trailing EOL is stripped from uncompressed payloads."""
+    """The decoded stream payload of one object body: the declared /Filter
+    cascade when the dict names one (Flate/ASCIIHex/ASCII85/RunLength/LZW,
+    §7.4), else the zlib sniff, else the raw bytes. The EOL preceding
+    ``endstream`` is a delimiter, not data (PDF 32000-1 §7.3.8), so exactly
+    one trailing EOL is stripped from uncompressed payloads (the binary
+    filters are self-terminating and ignore it)."""
     m = _STREAM_RE.search(body)
     if not m:
         return None
     data = m.group(1)
+    names = _declared_filters(body[: m.start()])
+    if names:
+        return _apply_filters(data, names)
     if data[:1] == b"\x78":  # zlib magic
         try:
             return zlib.decompressobj().decompress(data)
@@ -468,7 +649,8 @@ def extract_pdf_text(raw: bytes) -> list[str] | None:
     order — objects stored out of byte order (incremental updates, linearized
     files, object streams) still read in page order. Without one (minimal
     or damaged files), falls back to scanning every stream in byte order.
-    Handles plain and FlateDecode-compressed content streams and PDF 1.5
+    Handles plain and filtered content streams (Flate/ASCIIHex/ASCII85/
+    RunLength/LZW and cascades of them, §7.4) and PDF 1.5
     object streams. Returns None when no text objects are found
     (→ unsupported_pdf).
     """

@@ -416,3 +416,158 @@ def test_pdf_encrypted_surfaces_typed_error():
     from mistral_ocr_spark.oracle import extract_reference
 
     assert extract_reference(pdf).error_class == "encrypted_pdf"
+
+
+# --- PDF stream filters (r4: §7.4 cascade) ---------------------------------
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Minimal PDF/TIFF LZW encoder (test-side only): emits CLEAR first,
+    EOD last, MSB-first variable-width codes with the EarlyChange rule."""
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    width, next_code = 9, 258
+    out_bits.append((256, width))
+    table = {bytes([i]): i for i in range(256)}
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w = w + c
+            continue
+        out_bits.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        if next_code + early - 1 >= (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))
+    buf, bits = 0, 0
+    enc = bytearray()
+    for code, wd in out_bits:
+        buf = (buf << wd) | code
+        bits += wd
+        while bits >= 8:
+            enc.append((buf >> (bits - 8)) & 0xFF)
+            bits -= 8
+    if bits:
+        enc.append((buf << (8 - bits)) & 0xFF)
+    return bytes(enc)
+
+
+def _pdf_with_stream(filter_decl: bytes, payload: bytes) -> bytes:
+    return (
+        b"%PDF-1.4\n4 0 obj\n<< " + filter_decl + b" /Length "
+        + str(len(payload)).encode() + b" >>\nstream\n"
+        + payload + b"\nendstream\nendobj\n"
+    )
+
+
+def test_pdf_ascii_hex_stream():
+    content = b"BT /F1 12 Tf (hex encoded text) Tj ET"
+    payload = content.hex().encode("ascii") + b">"
+    r = extract(_pdf_with_stream(b"/Filter /ASCIIHexDecode", payload))
+    assert r.text == "hex encoded text"
+
+
+def test_pdf_ascii85_stream():
+    import base64
+
+    content = b"BT /F1 12 Tf (ascii85 encoded text) Tj ET"
+    payload = base64.a85encode(content) + b"~>"
+    r = extract(_pdf_with_stream(b"/Filter /ASCII85Decode", payload))
+    assert r.text == "ascii85 encoded text"
+
+
+def test_pdf_run_length_stream():
+    content = b"BT /F1 12 Tf (rrrrrun length) Tj ET"
+    # hand-built RLE: literal "BT /F1 12 Tf (", 5x'r', literal rest, EOD
+    head, rest = b"BT /F1 12 Tf (", b"un length) Tj ET"
+    payload = (
+        bytes([len(head) - 1]) + head
+        + bytes([257 - 5]) + b"r"
+        + bytes([len(rest) - 1]) + rest
+        + bytes([128])
+    )
+    r = extract(_pdf_with_stream(b"/Filter /RunLengthDecode", payload))
+    assert r.text == "rrrrrun length"
+
+
+def test_pdf_lzw_stream_roundtrip():
+    content = b"BT /F1 12 Tf (lzw compressed stream with some repetition ababababab) Tj ET"
+    r = extract(_pdf_with_stream(b"/Filter /LZWDecode", _lzw_encode(content)))
+    assert r.text == "lzw compressed stream with some repetition ababababab"
+
+
+def test_pdf_lzw_hand_packed_vector():
+    """Bit-unpacking checked against a hand-packed 9-bit code stream
+    (independent of the test-side encoder): CLEAR, 'A', 'B', EOD."""
+    from mistral_ocr_spark.extractor.pdf import _lzw_decode
+
+    codes = [(256, 9), (65, 9), (66, 9), (257, 9)]
+    buf = bits = 0
+    enc = bytearray()
+    for code, wd in codes:
+        buf = (buf << wd) | code
+        bits += wd
+        while bits >= 8:
+            enc.append((buf >> (bits - 8)) & 0xFF)
+            bits -= 8
+    if bits:
+        enc.append((buf << (8 - bits)) & 0xFF)
+    assert _lzw_decode(bytes(enc)) == b"AB"
+    # KwKwK case: CLEAR, 'A', 258 (= "AA" before it is in the table)
+    codes = [(256, 9), (65, 9), (258, 9), (257, 9)]
+    buf = bits = 0
+    enc = bytearray()
+    for code, wd in codes:
+        buf = (buf << wd) | code
+        bits += wd
+        while bits >= 8:
+            enc.append((buf >> (bits - 8)) & 0xFF)
+            bits -= 8
+    if bits:
+        enc.append((buf << (8 - bits)) & 0xFF)
+    assert _lzw_decode(bytes(enc)) == b"AAA"
+
+
+def test_pdf_filter_cascade_hex_then_flate():
+    """[/ASCIIHexDecode /FlateDecode]: filters apply in listed order when
+    decoding (§7.3.8.2) — hex transport around a Flate-compressed stream."""
+    import zlib
+
+    content = b"BT /F1 12 Tf (cascade decoded) Tj ET"
+    payload = zlib.compress(content).hex().encode("ascii") + b">"
+    r = extract(
+        _pdf_with_stream(b"/Filter [/ASCIIHexDecode /FlateDecode]", payload)
+    )
+    assert r.text == "cascade decoded"
+
+
+def test_pdf_unsupported_filter_is_skipped_not_fatal():
+    """A DCTDecode (JPEG) stream must be skipped; text elsewhere in the
+    document still extracts."""
+    jpeg = _pdf_with_stream(b"/Subtype /Image /Filter /DCTDecode", b"\xff\xd8\xff\xe0 junk")
+    doc = jpeg + b"5 0 obj\nBT (plain text survives) Tj ET\nendobj\n"
+    r = extract(doc)
+    assert r.text == "plain text survives"
+
+
+def test_pdf_filtered_stream_in_page_tree():
+    """The page-tree path (not just the byte-order fallback) must decode
+    declared filters: a catalog→pages→page doc whose /Contents stream is
+    ASCIIHex-encoded."""
+    content = b"BT /F1 12 Tf (tree with hex contents) Tj ET"
+    payload = content.hex().encode("ascii") + b">"
+    doc = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Filter /ASCIIHexDecode /Length "
+        + str(len(payload)).encode() + b" >>\nstream\n" + payload
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n"
+    )
+    r = extract(doc)
+    assert r.text == "tree with hex contents"
