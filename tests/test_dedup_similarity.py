@@ -386,3 +386,27 @@ def test_lsh_bucket_index_reuse_matches_and_prunes(spark, tmp_path):
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(bucket" in plan, (
         f"probe set not pushed to partition pruning:\n{plan[:1200]}"
     )
+
+
+def test_gram_kernels_evaluate_once_not_twice(spark):
+    """Regression (r4): exploding a computed gram/shingle column by NAME
+    lets InferFiltersFromGenerate + pushdown substitute the whole kernel
+    into an inferred `size(...) > 0` filter — evaluating the expensive
+    expression twice, the second time with the word split re-expanded
+    inside every element_at (measured 26 s vs 0.55 s at sf0.1). The plans
+    must contain the gram transform exactly ONCE."""
+    d = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten eleven twelve thirteen x")],
+        ["doc_id", "text"],
+    )
+    decon_side = D.with_ngram_hashes(d, 13).select(
+        "doc_id", F.explode_outer("ngram_hashes").alias("_g")
+    )
+    plan = decon_side._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("transform(sequence") == 1, f"gram kernel duplicated:\n{plan[:1500]}"
+
+    pairs = D.jaccard_pairs_exact(d, threshold=0.1)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("transform(sequence") <= 2, (  # a/b sides of the self-join
+        f"shingle kernel duplicated per side:\n{plan[:1500]}"
+    )
