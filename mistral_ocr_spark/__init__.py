@@ -16,6 +16,6 @@ Design tenets (scale-first):
   covering data + lineage, so a killed job resumes exactly-once per url.
 """
 
-EXTRACTOR_VERSION = "1.4.0"  # 1.4.0: PDF ToUnicode CMap font decoding + UTF-16BE text strings; 1.3.0: page-tree ordering (catalog/Kids walk, ObjStm); 1.2.1: TJ kern fix
+EXTRACTOR_VERSION = "1.5.0"  # 1.5.0: PDF stream-filter cascade (ASCIIHex/ASCII85/RunLength/LZW) + encoded-body excision in the fallback scan; 1.4.0: ToUnicode CMaps + UTF-16BE; 1.3.0: page-tree ordering (ObjStm); 1.2.1: TJ kern fix
 
 __all__ = ["EXTRACTOR_VERSION"]

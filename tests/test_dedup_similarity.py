@@ -410,3 +410,54 @@ def test_gram_kernels_evaluate_once_not_twice(spark):
     assert plan.count("transform(sequence") <= 2, (  # a/b sides of the self-join
         f"shingle kernel duplicated per side:\n{plan[:1500]}"
     )
+
+
+def test_cross_doc_line_dedup_matches_python_ground_truth(spark):
+    """FineWeb-granularity line dedup: lines appearing in >= min_df distinct
+    docs are dropped everywhere, order preserved, empty-but-present docs
+    kept. Checked against an independent pure-Python implementation on a
+    corpus with planted boilerplate, repeats-within-one-doc (df=1, must
+    survive), blank lines, and an all-boilerplate doc."""
+    docs = [
+        (1, "Accept cookies\nreal content one\nSite nav\nunique closing line"),
+        (2, "Accept cookies\nreal content two\nSite nav"),
+        (3, "real content three\nAccept cookies"),
+        (4, "solo line\nsolo line\n\n  \nlast line"),  # within-doc repeat: df=1
+        (5, "Accept cookies\nSite nav"),               # all boilerplate
+    ]
+    from collections import Counter
+
+    per_doc_lines = {
+        i: [ln.strip() for ln in t.split("\n") if ln.strip() != ""] for i, t in docs
+    }
+    df_count = Counter()
+    for i, lines in per_doc_lines.items():
+        for ln in set(lines):
+            df_count[ln] += 1
+    hot = {ln for ln, c in df_count.items() if c >= 2}
+    want = {}
+    for i, lines in per_doc_lines.items():
+        kept = [ln for ln in lines if ln not in hot]
+        want[i] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+
+    out = D.cross_doc_line_dedup(spark.createDataFrame(docs, ["doc_id", "text"]))
+    got = {
+        r.doc_id: (r.text, r.n_lines_kept, r.n_lines_dropped) for r in out.collect()
+    }
+    assert got == want
+    assert got[5] == ("", 0, 2)          # all-boilerplate doc kept as empty
+    assert got[4][1] == 3                # within-doc repeat survives (df=1)
+    assert "Accept cookies" not in got[1][0] and "real content one" in got[1][0]
+
+
+def test_cross_doc_line_dedup_deterministic_across_parallelism(spark):
+    docs = [
+        (i, f"common header\nbody {i} alpha\nbody {i} beta\ncommon footer")
+        for i in range(40)
+    ]
+    a = D.cross_doc_line_dedup(spark.createDataFrame(docs, ["doc_id", "text"]).repartition(1))
+    b = D.cross_doc_line_dedup(spark.createDataFrame(docs, ["doc_id", "text"]).repartition(16))
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+    assert all(r[1] == f"body {r[0]} alpha\nbody {r[0]} beta" for r in ra)
