@@ -167,3 +167,19 @@ def test_connected_components_rounds_are_relational(spark):
         assert "collect_list" not in plan and "CollectList" not in plan
         assert "CartesianProduct" not in plan
         assert "partial_min" in plan or "partial" in plan  # map-side combine
+
+
+def test_range_join_query_is_equi_join_not_nested_loop(spark):
+    # bucket decomposition must reach the driver-registered query as a
+    # hash/sort-merge equi-join on (bucket, user_id) — never the
+    # O(|P|·|I|) nested loop Catalyst picks for a raw inequality join
+    plan = _plan(spark, "range_join_clicks")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_decontaminate_query_broadcasts_benchmark_grams(spark):
+    # the benchmark gram set (eval suites — small by construction) must be
+    # the broadcast side so corpus grams die map-side without a shuffle
+    plan = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan, plan[:800]
