@@ -85,12 +85,17 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ORACLE_TEXT_SQL needs no change; pipeline_extract/pipeline_spans CASE
     # on doc_id % 25 for the pdf-specific outputs (markdown == text, spans
     # are two paragraphs, no images). Two sub-variants:
-    # - literal-string PDF (escaped \\ \( \)), byte-order scan path;
+    # - literal-string PDF (escaped \\ \( \)), byte-order scan path
+    #   (doc_id % 100 == 57);
     # - doc_id % 50 == 32: page tree + /Resources font whose /ToUnicode
     #   CMap is a ROT1 map (codes = char+1, bfrange <21><7a> → U+0020…) and
     #   the content uses <hex> strings — the hash check then covers CMap
     #   font decoding through the distributed pipeline, because ignoring
-    #   the CMap would garble every one of these rows.
+    #   the CMap would garble every one of these rows;
+    # - doc_id % 100 == 7 (r4): the same literal content inside an
+    #   /ASCIIHexDecode-FILTERED stream — the §7.4 filter cascade
+    #   (extractor 1.5.0) is then on the flagship hash path too: skipping
+    #   or mis-decoding the declared filter would blank these rows.
     did = F.col("doc_id").cast("string")
     esc_pdf = F.replace(
         F.replace(
@@ -107,6 +112,17 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(") Tj ET\nBT ("),
         esc_pdf,
         F.lit(") Tj ET\nendobj"),
+    )
+    # ASCIIHex-filtered variant: hex(UTF-8 bytes) of the identical literal
+    # content — F.hex is JVM-side; the decoder accepts either hex case.
+    ahx_pdf = F.concat(
+        F.lit("%PDF-1.4\n4 0 obj\n<< /Filter /ASCIIHexDecode >>\nstream\n"),
+        F.hex(
+            F.concat(
+                F.lit("BT (Doc "), did, F.lit(") Tj ET\nBT ("), esc_pdf, F.lit(") Tj ET")
+            )
+        ),
+        F.lit(">\nendstream\nendobj\n"),
     )
 
     def rot1hex(col):
@@ -140,6 +156,7 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     body = (
         F.when(F.col("doc_id") % 50 == 32, tounicode_pdf)
+        .when(F.col("doc_id") % 100 == 7, ahx_pdf)
         .when(F.col("doc_id") % 25 == 7, lit_pdf)
         .otherwise(html_str)
     )
