@@ -29,12 +29,26 @@ def _zip_engine(dest: str) -> str:
     return zip_path
 
 
+def _find_spark_submit() -> str | None:
+    found = shutil.which("spark-submit")
+    if found:
+        return found
+    # not on PATH in this container — fall back to SPARK_HOME / the
+    # standard install prefix so the ship-path test actually runs
+    for base in (os.environ.get("SPARK_HOME"), "/opt/spark"):
+        if base:
+            cand = os.path.join(base, "bin", "spark-submit")
+            if os.access(cand, os.X_OK):
+                return cand
+    return None
+
+
 def test_spark_submit_pyfiles():
-    spark_submit = shutil.which("spark-submit")
+    spark_submit = _find_spark_submit()
     if spark_submit is None:
         import pytest
 
-        pytest.skip("spark-submit not on PATH")
+        pytest.skip("spark-submit not found")
     tmp = tempfile.mkdtemp(prefix="ocr_submit_")
     try:
         zip_path = _zip_engine(tmp)
