@@ -116,11 +116,17 @@ def _unescape(s: bytes) -> bytes:
     return _ESC_RE.sub(sub, s)
 
 
-def _decode_hex(tok: bytes) -> bytes:
-    hx = re.sub(rb"\s", b"", tok[1:-1])
+def _hex_core(body: bytes) -> bytes:
+    """Shared <hex>/ASCIIHex digit handling: strip whitespace, odd final
+    digit implies a trailing 0 (PDF 32000-1 §7.3.4.3 / §7.4.2)."""
+    hx = re.sub(rb"\s", b"", body)
     if len(hx) % 2:
-        hx += b"0"  # PDF: odd final digit implies trailing 0
+        hx += b"0"
     return bytes.fromhex(hx.decode("ascii"))
+
+
+def _decode_hex(tok: bytes) -> bytes:
+    return _hex_core(tok[1:-1])
 
 
 # --- stream filters (PDF 32000-1 §7.4) -------------------------------------
@@ -148,12 +154,8 @@ def _flate(data: bytes) -> bytes | None:
 
 
 def _ascii_hex_decode(data: bytes) -> bytes | None:
-    body = data.split(b">")[0]
-    hx = re.sub(rb"\s", b"", body)
-    if len(hx) % 2:
-        hx += b"0"
     try:
-        return bytes.fromhex(hx.decode("ascii"))
+        return _hex_core(data.split(b">")[0])  # '>' is the filter's EOD
     except (ValueError, UnicodeDecodeError):
         return None
 
@@ -231,10 +233,22 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
                 else:
                     return None
                 out += entry
-                table[next_code] = prev + entry[:1]
-                next_code += 1
-                if next_code + early - 1 >= (1 << width) and width < 12:
-                    width += 1
+                # EarlyChange (default 1): the DECODER's table lags the
+                # encoder's by one entry, so it widens when next_code +
+                # early reaches the width boundary (511 at 9 bits) — one
+                # code EARLIER than the encoder-side formula. Getting this
+                # off by one reads 9 bits where the stream has 10 and
+                # desyncs exactly at table entry 511 (caught in review by
+                # decoding a reference-semantics EarlyChange=1 stream;
+                # regression-tested across the 511/1023/4096 boundaries).
+                # Near the 12-bit table cap the add (and widen) freeze —
+                # conforming encoders emit a CLEAR there; freezing keeps
+                # sync either way (table max 4096, §7.4.4.2).
+                if next_code + early < 4096:
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+                    if next_code + early >= (1 << width) and width < 12:
+                        width += 1
             prev = entry
     return bytes(out)  # EOD missing but stream exhausted cleanly
 

@@ -129,7 +129,12 @@ def cross_doc_line_dedup(
     lines = docs.select(
         F.col(key_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_line"),
-    ).withColumn("_t", F.trim(F.col("_line")))
+    ).withColumn(
+        # full-whitespace strip (F.trim strips SPACES only — a "\t" line
+        # would otherwise count as content, r4 review follow-up)
+        "_t",
+        F.regexp_replace(F.col("_line"), r"^\s+|\s+$", ""),
+    )
     body = lines.filter(F.col("_t") != "").withColumn("h", F.xxhash64("_t"))
     hot = (
         body.groupBy("h")
@@ -148,8 +153,14 @@ def cross_doc_line_dedup(
         ).alias("text"),
         F.count(F.lit(1)).cast("bigint").alias("n_lines_kept"),
     )
-    totals = body.groupBy(key_col).agg(
+    line_counts = body.groupBy(key_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("_n_total")
+    )
+    # anchor on the INPUT docs, not the non-blank line stream: a document
+    # whose text is empty or all-blank has no `body` rows but must still
+    # come back as ("", 0, 0) — "one row per input document" (r4 review)
+    totals = docs.select(key_col).join(line_counts, key_col, "left").select(
+        key_col, F.coalesce("_n_total", F.lit(0)).alias("_n_total")
     )
     return (
         totals.join(rebuilt, key_col, "left")

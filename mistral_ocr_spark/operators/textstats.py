@@ -156,11 +156,22 @@ def web_quality_signals(
     # operator. stop_hits counts word tokens in STOPWORD_TOKENS — equality
     # on the split tokens, the exact-arithmetic form of Gopher's rule.
     user_carry = list(carry_cols or [])
-    # C4 line signals: computed BEFORE the exchange on the compact rows
-    # (constant per doc), carried through both aggregations like any other
-    # per-doc column — the word-stream shuffle stays the only exchange.
+    # C4 line signals: three filter/size expressions over the trimmed line
+    # array. Yes, collapsed projections evaluate the split+trim+filter
+    # kernel once per signal (no CSE) — but this was MEASURED against the
+    # single-pass alternatives on a 30-line/doc corpus (r4 review
+    # follow-up): one `aggregate()` with a struct accumulator 6.9 s, with
+    # a packed-long accumulator 7.3 s, the "wasteful" triple filter/size
+    # form 1.7 s. Spark's interpreted `aggregate` costs ~4× more per
+    # element than `filter`/`transform`/`size`, dwarfing the duplicate
+    # kernel evaluations; keep the triple form. Lines are full-whitespace
+    # trimmed (F.trim strips spaces only — a "\t" line must not count as
+    # content); the DuckDB oracle uses the identical regexp.
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        F.transform(
+            F.split(F.col(text_col), "\n"),
+            lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
+        ),
         lambda l: l != "",
     )
     n_lines_d = F.size(lines).cast("double")
@@ -179,8 +190,7 @@ def web_quality_signals(
         .withColumn("punct_line_frac", punct_frac)
         .withColumn("short_line_frac", short_frac)
     )
-    line_cols = ["n_lines", "punct_line_frac", "short_line_frac"]
-    carry = line_cols + user_carry
+    carry = ["n_lines", "punct_line_frac", "short_line_frac"] + user_carry
     words = (
         df.select(F.col(id_col), F.col(text_col), *[F.col(c) for c in carry])
         .repartition(F.col(id_col))

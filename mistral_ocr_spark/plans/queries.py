@@ -801,8 +801,8 @@ def _web_quality_oracle() -> str:
     stop_cnt = f"sum(CASE WHEN word IN ({stops}) THEN cnt ELSE 0 END)"
     n_d = "greatest(CAST(sum(cnt) AS DOUBLE), 1.0)"
     lines = (
-        "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), "
-        "l -> l != '')"
+        "list_filter(list_transform(string_split(text, chr(10)), "
+        "l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')), l -> l != '')"
     )
     nl_d = "greatest(CAST(len(lines) AS DOUBLE), 1.0)"
     return f"""

@@ -424,6 +424,8 @@ def test_cross_doc_line_dedup_matches_python_ground_truth(spark):
         (3, "real content three\nAccept cookies"),
         (4, "solo line\nsolo line\n\n  \nlast line"),  # within-doc repeat: df=1
         (5, "Accept cookies\nSite nav"),               # all boilerplate
+        (6, ""),                                       # empty doc: must survive
+        (7, "  \n\t\n"),                               # all-blank doc: must survive
     ]
     from collections import Counter
 
@@ -447,6 +449,8 @@ def test_cross_doc_line_dedup_matches_python_ground_truth(spark):
     assert got == want
     assert got[5] == ("", 0, 2)          # all-boilerplate doc kept as empty
     assert got[4][1] == 3                # within-doc repeat survives (df=1)
+    assert got[6] == ("", 0, 0)          # empty doc: one row per input doc
+    assert got[7] == ("", 0, 0)          # all-blank doc likewise (r4 review)
     assert "Accept cookies" not in got[1][0] and "real content one" in got[1][0]
 
 

@@ -434,10 +434,16 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
             w = w + c
             continue
         out_bits.append((table[w], width))
-        table[w + c] = next_code
-        next_code += 1
-        if next_code + early - 1 >= (1 << width) and width < 12:
-            width += 1
+        if next_code + early < 4096:
+            table[w + c] = next_code
+            next_code += 1
+            if next_code + early - 1 >= (1 << width) and width < 12:
+                width += 1
+        else:
+            # table cap: conforming encoders emit CLEAR and restart
+            out_bits.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
         w = c
     if w:
         out_bits.append((table[w], width))
@@ -571,3 +577,20 @@ def test_pdf_filtered_stream_in_page_tree():
     )
     r = extract(doc)
     assert r.text == "tree with hex contents"
+
+
+def test_pdf_lzw_width_boundaries_and_table_cap():
+    """Regression (r4 review): the decoder's EarlyChange width switch was
+    off by one (desync at table entry 511) and neither side handled the
+    4096-entry table cap. Round-trip across the 9→10→11→12-bit boundaries
+    and multiple table-cap CLEAR restarts, plus random binary stress."""
+    import random
+
+    from mistral_ocr_spark.extractor.pdf import _lzw_decode
+
+    for n in (511, 512, 1023, 1024, 4000, 9000):
+        d = bytes((i * 7 + (i >> 3)) % 251 for i in range(n * 8))
+        assert _lzw_decode(_lzw_encode(d)) == d, f"desync near boundary {n}"
+    r = random.Random(11)
+    blob = bytes(r.randrange(256) for _ in range(60_000))
+    assert _lzw_decode(_lzw_encode(blob)) == blob
