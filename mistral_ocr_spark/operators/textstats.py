@@ -270,3 +270,167 @@ def occurrences_sql(padded: str, needle: str) -> str:
 
 def lang_score_sql(lang: str, padded: str) -> str:
     return " + ".join(occurrences_sql(padded, m) for m in LANG_MARKERS[lang])
+
+
+def _bm25_score(
+    tf: DataFrame,
+    doclen: DataFrame,
+    corpus_stats: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring tail over (doc, term, tf), per-doc lengths and
+    the (N, avgdl) corpus scalars: idf from a metadata-sized term
+    aggregate, one join of the query-term postings against doc lengths,
+    final k via TakeOrdered."""
+    dfreq = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    idf = dfreq.crossJoin(F.broadcast(corpus_stats)).select(
+        "_w",
+        F.log((F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0).alias(
+            "_idf"
+        ),
+        "_avgdl",
+    )
+    scored = (
+        tf.join(doclen, id_col)
+        .join(F.broadcast(idf), "_w")
+        .select(
+            F.col(id_col),
+            (
+                F.col("_idf")
+                * (F.col("_tf") * (k1 + 1))
+                / (F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl")))
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def _bm25_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_w"),
+        )
+    )
+
+
+def bm25_index(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> str:
+    """Build and persist the BM25 inverted index — the query-many tier
+    (the signature_index / ivf_index pattern): ONE corpus pass produces
+
+    - ``postings/`` — (doc, term, tf), written ``partitionBy(_b)`` on a
+      hash bucket of the term, so a query's term set PRUNES PARQUET
+      PARTITIONS at the storage layer (a q-term query touches
+      ~q/n_buckets of the postings);
+    - ``doclen/`` — per-doc word counts (the length-normalization side);
+    - ``stats/`` — the (N, avgdl) corpus scalars, one row.
+
+    The corpus crosses the wire once (repartition compact rows by doc,
+    explode, both aggregates reuse the partitioning). Rebuild on corpus
+    change; at 10^12 docs the postings table is the standard
+    inverted-index size (~one row per distinct (doc, term))."""
+    words = _bm25_words(df, text_col, id_col)
+    postings = words.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_tf"))
+    (
+        postings.withColumn("_b", F.pmod(F.xxhash64("_w"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(f"{index_dir}/postings")
+    )
+    doclen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    doclen.write.mode("overwrite").parquet(f"{index_dir}/doclen")
+    spark = df.sparkSession
+    (
+        spark.read.parquet(f"{index_dir}/doclen")
+        .agg(F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/stats")
+    )
+    return index_dir
+
+
+def bm25_topk(
+    df: DataFrame | None,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index_dir: str | None = None,
+    spark=None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """BM25 document ranking for a bag-of-terms query (Robertson et al.,
+    Okapi BM25 with Lucene's +1 idf smoothing): top ``k`` docs as
+    ``(id_col, score)``, score rounded to 6 dp, ties broken by id.
+
+    Two tiers:
+
+    - ``index_dir`` given (the scale path): read the persisted inverted
+      index — the bucket filter reaches the postings scan as a PARTITION
+      filter (plan-asserted in tests), non-query terms die in pruned
+      directories, and no corpus-sized shuffle happens at query time.
+    - ad-hoc (``df`` given, no index): derive postings/doclen/stats from
+      the corpus directly. Correct and oracle-checked, but the corpus is
+      scanned once per aggregate family (tf, doclen, stats) — fine for a
+      one-off; repeated queries should build ``bm25_index`` once, exactly
+      like the ANN signature tiers.
+    """
+    terms = [t.lower() for t in query_terms]
+    if index_dir is not None:
+        spark = spark or (df.sparkSession if df is not None else None)
+        assert spark is not None, "pass spark= when querying an index without df"
+        buckets = sorted({_bucket_of(t, n_buckets) for t in terms})
+        tf = (
+            spark.read.parquet(f"{index_dir}/postings")
+            .filter(F.col("_b").isin(buckets))
+            .filter(F.col("_w").isin(terms))
+            .drop("_b")
+        )
+        doclen = spark.read.parquet(f"{index_dir}/doclen")
+        stats = spark.read.parquet(f"{index_dir}/stats")
+        return _bm25_score(tf, doclen, stats, k, k1, b, id_col)
+    words = _bm25_words(df, text_col, id_col)
+    doclen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    tf = (
+        words.filter(F.col("_w").isin(terms))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    stats = doclen.agg(F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl"))
+    return _bm25_score(tf, doclen, stats, k, k1, b, id_col)
+
+
+def _bucket_of(term: str, n_buckets: int) -> int:
+    """Driver-side mirror of ``pmod(xxhash64(_w), n_buckets)`` for the
+    query's partition filter — computed by asking Spark is overkill for a
+    handful of terms, but correctness demands the IDENTICAL hash, so the
+    buckets are resolved through a one-row Spark expression at first use
+    and memoized."""
+    key = (term, n_buckets)
+    if key not in _BUCKET_CACHE:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        row = spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(term)), F.lit(n_buckets)).alias("b")
+        ).collect()[0]
+        _BUCKET_CACHE[key] = int(row.b)
+    return _BUCKET_CACHE[key]
+
+
+_BUCKET_CACHE: dict = {}

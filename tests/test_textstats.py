@@ -243,3 +243,76 @@ def test_c4_line_rules_on_multiline_fixture(spark):
     )
     con.close()
     assert got_rows == want_rows
+
+
+def test_bm25_matches_duckdb_formula(spark):
+    """BM25 top-k vs an independent DuckDB implementation of the identical
+    formula (Okapi BM25, Lucene +1 idf smoothing) on the sf0.001 corpus."""
+    import duckdb as _duck
+
+    terms = ["merge", "sort", "window"]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = [
+        (r.doc_id, r.score)
+        for r in X.bm25_topk(docs, terms, k=15).collect()
+    ]
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    want = con.execute(f"""
+WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+           FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM w WHERE w IN ({tlist}) GROUP BY 1, 2),
+dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+idf AS (SELECT w, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf, avgdl FROM dfq, stats),
+s AS (SELECT t.doc_id,
+        round(sum(i.idf * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl))), 6)
+        AS score
+      FROM tf t JOIN dl d USING (doc_id) JOIN idf i USING (w) GROUP BY 1)
+SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 15""").fetchall()
+    con.close()
+    assert got == [(d, s) for d, s in want], f"{got[:3]} vs {want[:3]}"
+
+
+def test_bm25_hand_computed_and_ordering(spark):
+    """Tiny corpus with hand-checkable structure: a doc with more query-term
+    hits outranks one with fewer; docs without any term never appear;
+    shorter docs outrank longer ones at equal tf (length normalization)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler"),
+            (2, "spark filler filler filler filler filler filler filler"),
+            (3, "spark filler filler filler"),
+            (4, "nothing relevant here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = X.bm25_topk(docs, ["spark"], k=10).collect()
+    ids = [r.doc_id for r in rows]
+    assert 4 not in ids
+    assert ids[0] == 1            # highest tf wins
+    assert ids.index(3) < ids.index(2)  # same tf=1, shorter doc ranks higher
+    assert all(rows[i].score >= rows[i + 1].score for i in range(len(rows) - 1))
+
+
+def test_bm25_index_prunes_partitions_and_matches(spark, tmp_path):
+    """The indexed tier: identical top-k to the ad-hoc path, and the query's
+    term-bucket filter reaches the postings scan as a PARTITION filter
+    (storage-layer pruning, the ivf_index property). Final k TakeOrdered."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["merge", "sort", "window"]
+    idx = X.bm25_index(docs, str(tmp_path / "bm25"))
+    adhoc = [tuple(r) for r in X.bm25_topk(docs, terms, k=15).collect()]
+    indexed_df = X.bm25_topk(None, terms, k=15, index_dir=idx, spark=spark)
+    assert [tuple(r) for r in indexed_df.collect()] == adhoc
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [_b" in plan or (
+        "PartitionFilters: [" in plan and "_b#" in plan.split("PartitionFilters")[1][:120]
+    ), f"bucket filter not pushed to partition pruning:\n{plan[:1500]}"
