@@ -285,6 +285,11 @@ def _bm25_score(
     the (N, avgdl) corpus scalars: idf from a metadata-sized term
     aggregate, one join of the query-term postings against doc lengths,
     final k via TakeOrdered."""
+    # No broadcast hint on the tf ⋈ doclen join: for selective queries tf
+    # is tiny and AQE broadcasts it from runtime stats; for a stopword-
+    # scale term (df ≈ N) tf is corpus-sized and a forced broadcast would
+    # OOM the driver — the shuffle join is the safe degradation, the same
+    # policy as signature_rerank_topk's survivor join.
     dfreq = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
     idf = dfreq.crossJoin(F.broadcast(corpus_stats)).select(
         "_w",
@@ -350,12 +355,27 @@ def bm25_index(
         .partitionBy("_b")
         .parquet(f"{index_dir}/postings")
     )
-    doclen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
-    doclen.write.mode("overwrite").parquet(f"{index_dir}/doclen")
     spark = df.sparkSession
+    # doclen = sum of tf per doc — derived from the postings just written,
+    # NOT from a second corpus scan+shuffle (exchange reuse does not span
+    # separate write actions; deriving from the read-back keeps the
+    # "one corpus pass" claim true — r4 review)
+    (
+        spark.read.parquet(f"{index_dir}/postings")
+        .groupBy(id_col)
+        .agg(F.sum("_tf").alias("_dl"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/doclen")
+    )
+    # stats row also records n_buckets: the query side MUST hash terms with
+    # the same modulus or the partition filter silently drops terms
     (
         spark.read.parquet(f"{index_dir}/doclen")
-        .agg(F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg("_dl").alias("_avgdl"),
+            F.lit(n_buckets).alias("_n_buckets"),
+        )
         .write.mode("overwrite")
         .parquet(f"{index_dir}/stats")
     )
@@ -382,8 +402,10 @@ def bm25_topk(
 
     - ``index_dir`` given (the scale path): read the persisted inverted
       index — the bucket filter reaches the postings scan as a PARTITION
-      filter (plan-asserted in tests), non-query terms die in pruned
-      directories, and no corpus-sized shuffle happens at query time.
+      filter (plan-asserted in tests) and non-query terms die in pruned
+      directories. The doclen join broadcasts the (small) query-term
+      postings via AQE runtime stats; stopword-scale queries degrade to a
+      shuffle join instead of OOMing the driver.
     - ad-hoc (``df`` given, no index): derive postings/doclen/stats from
       the corpus directly. Correct and oracle-checked, but the corpus is
       scanned once per aggregate family (tf, doclen, stats) — fine for a
@@ -394,7 +416,12 @@ def bm25_topk(
     if index_dir is not None:
         spark = spark or (df.sparkSession if df is not None else None)
         assert spark is not None, "pass spark= when querying an index without df"
-        buckets = sorted({_bucket_of(t, n_buckets) for t in terms})
+        stats = spark.read.parquet(f"{index_dir}/stats")
+        # the modulus is read FROM the index (persisted at build time): a
+        # caller-supplied mismatch would make the partition filter silently
+        # drop terms (r4 review) — the stored value always wins
+        idx_buckets = int(stats.select("_n_buckets").collect()[0][0])
+        buckets = sorted({_bucket_of(spark, t, idx_buckets) for t in terms})
         tf = (
             spark.read.parquet(f"{index_dir}/postings")
             .filter(F.col("_b").isin(buckets))
@@ -402,8 +429,9 @@ def bm25_topk(
             .drop("_b")
         )
         doclen = spark.read.parquet(f"{index_dir}/doclen")
-        stats = spark.read.parquet(f"{index_dir}/stats")
-        return _bm25_score(tf, doclen, stats, k, k1, b, id_col)
+        return _bm25_score(
+            tf, doclen, stats.drop("_n_buckets"), k, k1, b, id_col
+        )
     words = _bm25_words(df, text_col, id_col)
     doclen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
     tf = (
@@ -415,17 +443,15 @@ def bm25_topk(
     return _bm25_score(tf, doclen, stats, k, k1, b, id_col)
 
 
-def _bucket_of(term: str, n_buckets: int) -> int:
+def _bucket_of(spark, term: str, n_buckets: int) -> int:
     """Driver-side mirror of ``pmod(xxhash64(_w), n_buckets)`` for the
     query's partition filter — computed by asking Spark is overkill for a
     handful of terms, but correctness demands the IDENTICAL hash, so the
     buckets are resolved through a one-row Spark expression at first use
-    and memoized."""
+    and memoized. Takes the caller's session (getActiveSession() is
+    thread-local and returns None from worker threads — r4 review)."""
     key = (term, n_buckets)
     if key not in _BUCKET_CACHE:
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
         row = spark.range(1).select(
             F.pmod(F.xxhash64(F.lit(term)), F.lit(n_buckets)).alias("b")
         ).collect()[0]

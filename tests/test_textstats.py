@@ -316,3 +316,21 @@ def test_bm25_index_prunes_partitions_and_matches(spark, tmp_path):
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [_b" in plan or (
         "PartitionFilters: [" in plan and "_b#" in plan.split("PartitionFilters")[1][:120]
     ), f"bucket filter not pushed to partition pruning:\n{plan[:1500]}"
+
+
+def test_bm25_index_stores_its_bucket_modulus(spark, tmp_path):
+    """A build/query n_buckets mismatch must be impossible: the modulus is
+    persisted in stats/ and the query side uses the STORED value, so a
+    caller passing a different n_buckets still gets correct results
+    (r4 review: a mismatch silently dropped ~half the query terms)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = X.bm25_index(docs, str(tmp_path / "bm25_32"), n_buckets=32)
+    adhoc = [tuple(r) for r in X.bm25_topk(docs, ["merge", "sort"], k=10).collect()]
+    # deliberately wrong caller-side modulus: stored 32 must win
+    got = [
+        tuple(r)
+        for r in X.bm25_topk(
+            None, ["merge", "sort"], k=10, index_dir=idx, spark=spark, n_buckets=64
+        ).collect()
+    ]
+    assert got == adhoc
