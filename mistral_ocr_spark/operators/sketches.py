@@ -3,16 +3,20 @@ sketch" family of the training-data brief, built so every expensive stage
 is bounded regardless of corpus size.
 
 - ``heavy_hitters`` — EXACT frequent-item counts via the two-pass
-  Misra-Gries scheme (Misra & Gries 1982; mergeability per Agarwal et al.,
-  "Mergeable Summaries", PODS 2012): pass 1 runs an MG(k) summary inside
-  each partition (bounded memory, one Arrow batch stream) and shuffles at
-  most partitions × k candidate rows — NOT the full distinct-item
-  universe; pass 2 exactly recounts the candidate set. Guarantee: an item
-  with global frequency > n/k undercounts by at most n_p/k within each
-  partition, so its summed lower bound stays positive and it MUST surface
-  in some summary — with ``k = ceil(2/threshold)`` no item at or above the
-  threshold can be missed, and the recount makes reported counts exact
-  (no sketch error reaches the caller).
+  weighted Misra-Gries scheme (Misra & Gries 1982; weighted/mergeable form
+  per Agarwal et al., "Mergeable Summaries", PODS 2012): pass 1 keeps an
+  MG(k) summary per partition — each Arrow batch is reduced with a
+  VECTORIZED ``value_counts`` and merged in at batch granularity, then
+  compressed by subtracting the (k+1)-th largest counter (the weighted MG
+  step; total decrement ≤ n_p/(k+1)) — and shuffles at most
+  partitions × (k+1) rows, never the distinct-item universe; pass 2
+  exactly recounts the candidate set. Guarantee: with
+  ``k = ceil(2/threshold)`` an item at or above the threshold keeps a
+  positive counter in at least one partition's summary, so it cannot be
+  missed, and the recount makes every reported count exact (no sketch
+  error reaches the caller). The per-partition input size rides along as
+  a NULL-item sentinel row, so the denominator count comes out of pass 1
+  instead of a third scan.
 - ``approx_distinct`` — HyperLogLog++ cardinality (Spark's built-in
   ``approx_count_distinct``) with the relative-error knob surfaced; the
   constant-memory alternative to ``count_distinct`` for 10^12-row columns.
@@ -29,35 +33,37 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
 def _mg_partition_fn(k: int, col: str):
-    """pandas-batch Misra-Gries: one MG(k) counter table per PARTITION
-    (state carried across the partition's Arrow batches), emitted as
-    (item, lower-bound count) rows when the partition ends."""
+    """pandas-batch weighted Misra-Gries: one MG(k) counter table per
+    PARTITION (state carried across the partition's Arrow batches). Each
+    batch is pre-reduced with value_counts (vectorized — the only stage
+    that touches every row stays out of per-row Python), merged into the
+    counters, and compressed to ≤ k entries by subtracting the (k+1)-th
+    largest value. Emits (item, lower-bound) rows plus one (NULL, n_p)
+    sentinel carrying the partition's item count."""
     import pandas as pd
 
     def fn(batches):
         counters: dict = {}
+        n_p = 0
         for pdf in batches:
-            for item in pdf[col]:
-                if item is None:
-                    continue
-                if item in counters:
-                    counters[item] += 1
-                elif len(counters) < k:
-                    counters[item] = 1
-                else:
-                    # decrement-all step; drop zeros (classic MG)
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-        if counters:
+            vc = pdf[col].value_counts()  # dropna: NaN is excluded by contract
+            n_p += int(vc.sum())
+            for item, cnt in vc.items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]  # (k+1)-th
+                counters = {i: c - cut for i, c in counters.items() if c > cut}
+        # sentinel carries n_p in its own FLAG column: for float item
+        # columns pandas silently promotes a None item to NaN, which would
+        # collide with a genuine NaN item (r4 review follow-up)
+        if n_p or counters:
             yield pd.DataFrame(
-                {"item": list(counters.keys()), "lb": list(counters.values())}
+                {
+                    "item": list(counters.keys()) + [None],
+                    "lb": [int(v) for v in counters.values()] + [n_p],
+                    "is_sentinel": [False] * len(counters) + [True],
+                }
             )
 
     return fn
@@ -67,22 +73,29 @@ def heavy_hitters(
     df: DataFrame,
     col: str,
     threshold_frac: float = 0.001,
-    id_col: str | None = None,
 ) -> DataFrame:
     """All items of ``col`` whose frequency is ≥ ``threshold_frac`` of the
-    total item count, with EXACT counts — ``(item, freq, frac)`` ordered
-    nowhere (caller sorts).
+    total item count, with EXACT counts — ``(item, freq, frac)``, unsorted
+    (caller orders). NULLs are excluded from the stream, and for
+    float/double columns NaN is excluded TOO (explicitly, not silently:
+    pandas/Arrow use NaN as the missing-value marker in float columns, so
+    a NaN "item" cannot round-trip through the vectorized summary — the
+    operator filters it up front and documents the contract rather than
+    miscounting; r4 review).
 
     Two passes over the data, both bounded:
 
-    1. candidate generation: per-partition MG(k) with k = ceil(2/threshold)
-       → at most partitions × k rows shuffle (a few thousand per
-       partition), never the distinct-item universe;
-    2. exact recount: the item stream filtered to the candidate set
-       (broadcast — candidates ≤ partitions × k by construction) and
-       hash-aggregated, plus one scalar count for the denominator.
+    1. candidate generation + denominator: per-partition weighted MG(k)
+       with k = ceil(2/threshold) → at most partitions × (k+1) rows
+       shuffle, never the distinct-item universe;
+    2. exact recount: the item stream filtered to the candidate set and
+       hash-aggregated. No broadcast hint — candidates are usually tiny
+       and AQE broadcasts them from runtime stats, but at extreme
+       partition counts (candidates grow linearly with partitions) the
+       join degrades to a shuffle instead of OOMing the driver — the
+       signature_rerank survivor-join policy.
 
-    The MG guarantee (undercount ≤ n_p/k per partition) plus
+    The MG undercount bound (≤ n_p/(k+1) per partition) plus
     k = ceil(2/threshold) means NO true heavy hitter can be absent from
     the candidate set; false candidates are eliminated by the exact
     recount, so the output is exactly the items at or above the threshold.
@@ -93,22 +106,31 @@ def heavy_hitters(
     from pyspark.sql import types as T
 
     items = df.select(F.col(col).alias("_item")).filter(F.col("_item").isNotNull())
+    if isinstance(df.schema[col].dataType, (T.FloatType, T.DoubleType)):
+        items = items.filter(~F.isnan("_item"))
     schema = T.StructType(
         [
             T.StructField("item", df.schema[col].dataType),
             T.StructField("lb", T.LongType()),
+            T.StructField("is_sentinel", T.BooleanType()),
         ]
     )
-    cand = (
-        items.withColumnRenamed("_item", "_i")
-        .select(F.col("_i").alias(col))
-        .mapInPandas(_mg_partition_fn(k, col), schema)
-        .select("item")
-        .distinct()
-    )
-    n_total = items.agg(F.count(F.lit(1)).alias("_n"))
+    summary = items.mapInPandas(_mg_partition_fn(k, "_item"), schema)
+    # the summary feeds BOTH the candidate set and the denominator; left as
+    # a lazy subtree it would re-run pass 1 (and its full input scan) once
+    # per consumer — materialize the partitions × (k+1) rows through a
+    # scratch table (the minhash/CC pattern) so the corpus is read exactly
+    # twice end to end: once for the summaries, once for the recount
+    from mistral_ocr_spark.operators.dedup import scratch_table_dir
+
+    spark = df.sparkSession
+    path = scratch_table_dir(spark) + "/mg_summary.parquet"
+    summary.write.mode("overwrite").parquet(path)
+    summary = spark.read.parquet(path)
+    cand = summary.filter(~F.col("is_sentinel")).select("item").distinct()
+    n_total = summary.filter(F.col("is_sentinel")).agg(F.sum("lb").alias("_n"))
     counts = (
-        items.join(F.broadcast(cand), items["_item"] == cand["item"])
+        items.join(cand, items["_item"] == cand["item"])
         .groupBy("item")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
