@@ -1,0 +1,100 @@
+"""End-to-end composed pipeline test (operators/corpus.py): extraction,
+boilerplate-line dedup, quality filtering, exact dedup, decontamination and
+deterministic splitting chained on a corpus with one planted case per
+stage, so every stage's effect is individually observable in the output."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mistral_ocr_spark.operators.corpus import build_training_corpus
+
+_NAV = (
+    '<nav><ul><li><a href="/">Home</a></li><li><a href="/a">About</a></li>'
+    "</ul></nav>"
+)
+_FOOT = '<footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer>'
+_BOILER = "subscribe to our excellent newsletter for updates every single week"
+
+_UNIQUE = {
+    0: "alpha writes careful prose about distributed engines and their many planning tricks",
+    1: "beta explains storage formats with modern columnar layouts and clever encodings here",
+    2: "gamma describes shuffle behavior under load with measured numbers and clear graphs",
+    # 3 is an exact duplicate of 2 (same article body, same heading)
+    4: "delta surveys tokenizers across languages with fertility tables and honest caveats",
+    5: "epsilon covers benchmark contamination where a sixteen word passage overlaps the "
+       "eval suite by thirteen grams exactly",
+    # 6 is the low-quality repetitive page
+    7: "eta closes with deployment advice for long running clusters and their operators",
+}
+
+
+def _page(i: int, heading: str, paras: list[str]) -> tuple:
+    body = "".join(f"<p>{p}</p>" for p in paras)
+    html = (
+        f"<html><head><title>t</title></head><body>{_NAV}"
+        f"<article><h1>{heading}</h1>{body}</article>{_FOOT}</body></html>"
+    ).encode()
+    return (f"https://host-{i}.example.com/doc-{i}.html", None, html, None, "en")
+
+
+def _corpus(spark):
+    rows = []
+    for i in (0, 1, 2, 4, 5, 7):
+        rows.append(_page(i, f"Doc {i}", [_UNIQUE[i], _BOILER]))
+    rows.append(_page(3, "Doc 2", [_UNIQUE[2], _BOILER]))  # dup of doc 2
+    rows.append(_page(6, "Doc 6", ["spam " * 40, _BOILER]))  # repetitive
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    return spark.createDataFrame(rows, schema)
+
+
+def test_composed_pipeline_each_stage_observable(spark):
+    pages = _corpus(spark)
+    bench = spark.createDataFrame(
+        [(100, _UNIQUE[5])], ["bench_id", "text"]
+    )  # contaminates doc 5
+    stats: dict = {}
+    out = build_training_corpus(
+        pages, benchmark=bench, require_rep=True, line_min_df=2, stats=stats
+    ).collect()
+    by_url = {r.url.split("doc-")[1].split(".")[0]: r for r in out}
+
+    # stage counts: 8 extracted; exact dedup drops one of {2,3} FIRST
+    # (before line dedup — running it after would let the duplicate pair
+    # push its own lines to df=2 and line-dedup would annihilate BOTH
+    # copies, the ordering pitfall this test originally caught); line
+    # dedup then strips boilerplate without emptying anyone; quality drops
+    # the spam page; decontamination drops doc 5
+    assert stats["extracted"] == 8
+    assert stats["after_exact_dedup"] == 7
+    assert stats["after_line_dedup"] == 7
+    assert stats["after_quality"] == 6
+    assert stats["after_decontamination"] == 5
+
+    # survivors: 0, 1, exactly one of {2, 3}, 4, 7
+    ids = set(by_url)
+    assert {"0", "1", "4", "7"} <= ids
+    assert len(ids & {"2", "3"}) == 1
+    assert "5" not in ids and "6" not in ids
+
+    # the boilerplate paragraph is stripped from every survivor; the
+    # unique content and the heading survive
+    for i, r in by_url.items():
+        assert _BOILER not in r.text, f"doc {i} kept boilerplate"
+        assert r.text.startswith("Doc ")
+    assert _UNIQUE[0] in by_url["0"].text
+    assert by_url["0"].n_words == 2 + len(_UNIQUE[0].split())
+
+    # split column present and total
+    assert all(r.split in ("train", "holdout") for r in out)
+
+
+def test_composed_pipeline_deterministic_across_parallelism(spark):
+    pages = _corpus(spark)
+    a = sorted(
+        tuple(r) for r in build_training_corpus(pages.repartition(1)).collect()
+    )
+    b = sorted(
+        tuple(r) for r in build_training_corpus(pages.repartition(7)).collect()
+    )
+    assert a == b and len(a) > 0
