@@ -12,18 +12,18 @@ at ``min_df=2`` annihilates BOTH copies entirely instead of leaving one
 survivor. Collapsing exact duplicates first keeps the line-frequency
 counts meaningful (one vote per distinct document).
 
-Every stage is one of this engine's tested operators; this module only
-sequences them, so the composition inherits each stage's oracle/ground-
-truth coverage and adds a composition test on planted fixtures
-(tests/test_corpus_pipeline.py). Each stage is also individually
-skippable, because real pipelines tune the recipe per corpus.
-
-Scale shape: the chain is a linear DataFrame pipeline — extraction's
-salted mapInArrow, the line-dedup frequency shuffle, the quality signal
-exchange, the dedup hash-aggregate, the broadcast decontamination join,
-and the shuffle-free hash split each keep the plan shapes asserted in
-their own test suites; composing them adds no driver-side collect and no
-new shuffle beyond the stages' own.
+Execution shape: stages that feed MULTIPLE downstream branches
+(extraction output; the line-deduped text; the pre-decontamination
+survivor set) are materialized to scratch parquet — the repo's
+established pattern (dedup signatures, CC frontiers) — because a
+DataFrame joined against a derivative of itself otherwise re-executes its
+whole lineage once per branch: before this, one action's physical plan
+contained 32 MapInArrow extraction nodes (the full corpus re-extracted
+per self-join side, doubling at every stage — r4 review, verified by plan
+inspection). With the checkpoints, extraction runs exactly once and the
+final plan contains ZERO MapInArrow nodes (plan-asserted in
+tests/test_corpus_pipeline.py); the optional per-stage stats counts
+become cheap scans of the materialized tables.
 """
 
 from __future__ import annotations
@@ -34,7 +34,15 @@ from pyspark.sql import functions as F
 from mistral_ocr_spark.operators import dedup as D
 from mistral_ocr_spark.operators import sampling as SM
 from mistral_ocr_spark.operators import textstats as X
+from mistral_ocr_spark.operators.dedup import scratch_table_dir
 from mistral_ocr_spark.operators.extract import extract_pages
+
+
+def _materialize(df: DataFrame, scratch: str, name: str) -> DataFrame:
+    spark = df.sparkSession
+    path = f"{scratch}/{name}.parquet"
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def build_training_corpus(
@@ -48,6 +56,7 @@ def build_training_corpus(
     train_frac: float = 0.9,
     split_salt: str = "corpus-v1",
     stats: dict | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → training corpus
     ``(doc_id, url, text, quality, n_words, split)``.
@@ -56,36 +65,45 @@ def build_training_corpus(
 
     1. EXTRACT — in-cluster main-content extraction; rows with an
        ``error_class`` (undecodable, empty, unsupported PDF) drop here.
-       ``doc_id`` is the deterministic xxhash64 of the url — stable
-       across cluster sizes and reruns (the O5 contract).
+       ``doc_id`` is the deterministic xxhash64 of the url, and one row
+       survives per doc_id via a max-struct reduce — re-crawled URLs
+       (same url, multiple WARC snapshots) and 64-bit hash collisions
+       (expected in the thousands at 10^12 urls) would otherwise fan out
+       every downstream self-join (r4 review, verified by execution).
     2. EXACT DEDUP — one survivor per normalized-text fingerprint
        (min doc_id wins, deterministic). Runs BEFORE line dedup — see the
        module docstring's ordering note.
     3. LINE DEDUP — ``cross_doc_line_dedup``: boilerplate lines appearing
        in ≥ ``line_min_df`` DISTINCT documents vanish from every document
        (skipped when ``line_min_df`` is None); documents left empty drop.
-    4. QUALITY — ``web_quality_signals`` over the cleaned text; keep rows
-       with ``quality ≥ min_quality`` and the requested Gopher /
-       repetition flags (C4's line flags are available in the signals for
-       recipes that want them).
+    4. QUALITY — ``web_quality_signals`` over the cleaned text, with the
+       legacy quality score CARRIED through the operator's single
+       exchange (no separate branch, no extra join); keep rows with
+       ``quality ≥ min_quality`` and the requested Gopher / repetition
+       flags.
     5. DECONTAMINATE — drop any document sharing a ``decontaminate_n``-gram
        with the ``benchmark`` DataFrame (id_col ``bench_id``, text column
        ``text``); skipped when no benchmark is given.
-    6. SPLIT — sampling's hash-bucket assignment: shuffle-free,
-       cluster-size-stable train/holdout labeling.
+    6. SPLIT — ``sampling.hash_split_column``: shuffle-free,
+       cluster-size-stable train/holdout labeling (the same bucket ranges
+       as ``hash_split``, via the shared public API).
 
-    ``stats``, when given, is filled with per-stage surviving-row counts —
-    each count is an extra job, so leave it None in production.
+    ``stats``, when given, is filled with per-stage surviving-row counts
+    (cheap scans of the materialized stage tables).
     """
+    spark = pages.sparkSession
+    scratch = scratch_dir or scratch_table_dir(spark)
+
     ext = extract_pages(pages)
     docs = (
         ext.filter(F.col("error_class").isNull())
-        .select(
-            F.xxhash64("url").alias("doc_id"),
-            "url",
-            "text",
-        )
+        .select(F.xxhash64("url").alias("doc_id"), "url", "text")
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("url", "text")).alias("_r"))
+        .select("doc_id", F.col("_r.url").alias("url"), F.col("_r.text").alias("text"))
     )
+    # checkpoint 1: extraction runs ONCE; every later branch reads parquet
+    docs = _materialize(docs, scratch, "corpus_extracted")
     if stats is not None:
         stats["extracted"] = docs.count()
 
@@ -102,21 +120,27 @@ def build_training_corpus(
         ).select("doc_id", "text")
         docs = docs.drop("text").join(cleaned, "doc_id")
         docs = docs.filter(F.length(F.trim("text")) > 0)
-        if stats is not None:
-            stats["after_line_dedup"] = docs.count()
+    # checkpoint 2: the cleaned text feeds the quality exchange and (when
+    # decontaminating) the gram join — materialize once
+    docs = _materialize(docs, scratch, "corpus_cleaned")
+    if stats is not None and line_min_df is not None:
+        stats["after_line_dedup"] = docs.count()
 
-    sig = X.web_quality_signals(docs, carry_cols=["url"])
-    quality = X.with_quality_score(docs.select("doc_id", "text"))
+    scored = X.web_quality_signals(
+        X.with_quality_score(docs), carry_cols=["url", "text", "quality"]
+    )
     keep = F.col("quality") >= min_quality
     if require_gopher:
         keep = keep & (F.col("gopher_pass") == 1)
     if require_rep:
         keep = keep & (F.col("rep_pass") == 1)
-    deduped = (
-        sig.join(quality.select("doc_id", "quality", "text"), "doc_id")
-        .filter(keep)
-        .select("doc_id", "url", "text", "quality", "n_words")
+    deduped = scored.filter(keep).select(
+        "doc_id", "url", "text", "quality", "n_words"
     )
+    if benchmark is not None:
+        # checkpoint 3: the survivor set is both the decontamination input
+        # and the anti-join left side
+        deduped = _materialize(deduped, scratch, "corpus_quality")
     if stats is not None:
         stats["after_quality"] = deduped.count()
 
@@ -130,13 +154,9 @@ def build_training_corpus(
         if stats is not None:
             stats["after_decontamination"] = deduped.count()
 
-    bucket = SM._bucket("doc_id", split_salt)
-    cut = int(round(train_frac * SM._DENOM))
+    split = SM.hash_split_column(
+        "doc_id", {"train": train_frac, "holdout": 1.0 - train_frac}, salt=split_salt
+    )
     return deduped.select(
-        "doc_id",
-        "url",
-        "text",
-        "quality",
-        "n_words",
-        F.when(bucket < cut, "train").otherwise("holdout").alias("split"),
+        "doc_id", "url", "text", "quality", "n_words", split.alias("split")
     )

@@ -38,6 +38,29 @@ def _bucket(key_col: str, salt: str, hash: str = "xxhash64"):
     return F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(_DENOM))
 
 
+def _split_ranges(fractions: dict[str, float]) -> list[tuple[str, int, int]]:
+    """The ONE place the bucket-range arithmetic lives (rounding rule
+    included): both the filter form (hash_split) and the label-column form
+    (hash_split_column) derive from it, so the split membership contract
+    cannot drift between them."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    names = list(fractions)
+    out: list[tuple[str, int, int]] = []
+    lo = 0
+    for i, name in enumerate(names):
+        hi = lo + int(round(fractions[name] * _DENOM))
+        if i == len(names) - 1 and abs(total - 1.0) < 1e-9:
+            # last split absorbs the rounding remainder so full-sum splits
+            # are EXHAUSTIVE (three 1/3 fractions would otherwise strand
+            # one bucket in no split)
+            hi = _DENOM
+        out.append((name, lo, hi))
+        lo = hi
+    return out
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,
@@ -49,23 +72,30 @@ def hash_split(
     the key: ``hash_split(docs, "url", {"train": 0.98, "val": 0.01,
     "test": 0.01})``. Changing ``salt`` re-draws the whole assignment;
     adding rows never moves existing ones between splits."""
-    total = sum(fractions.values())
-    if total > 1.0 + 1e-9:
-        raise ValueError(f"fractions sum to {total} > 1")
     b = _bucket(key_col, salt, hash)
-    out: dict[str, DataFrame] = {}
-    names = list(fractions)
-    lo = 0
-    for i, name in enumerate(names):
-        hi = lo + int(round(fractions[name] * _DENOM))
-        if i == len(names) - 1 and abs(total - 1.0) < 1e-9:
-            # last split absorbs the rounding remainder so full-sum splits
-            # are EXHAUSTIVE (three 1/3 fractions would otherwise strand
-            # one bucket in no split)
-            hi = _DENOM
-        out[name] = df.filter((b >= lo) & (b < hi))
-        lo = hi
-    return out
+    return {
+        name: df.filter((b >= lo) & (b < hi))
+        for name, lo, hi in _split_ranges(fractions)
+    }
+
+
+def hash_split_column(
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split-v1",
+    hash: str = "xxhash64",
+):
+    """The split assignment as a label COLUMN (for pipelines that keep one
+    DataFrame and tag rows instead of fanning out per-split frames) — the
+    IDENTICAL bucket ranges as ``hash_split``, including the
+    remainder-absorbing rounding rule, via the shared ``_split_ranges``.
+    Rows outside the covered range (fractions summing < 1) get NULL."""
+    b = _bucket(key_col, salt, hash)
+    expr = None
+    for name, lo, hi in _split_ranges(fractions):
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr
 
 
 def stratified_sample(
