@@ -144,13 +144,46 @@ def _declared_filters(dict_bytes: bytes) -> list[bytes]:
     return _NAME_RE.findall(m.group(1)) if m else []
 
 
+def _zlib_header_plausible(data: bytes) -> bool:
+    """RFC 1950 header check: CM=8, CINFO<=7, FCHECK makes CMF*256+FLG a
+    multiple of 31."""
+    return (
+        len(data) >= 2
+        and (data[0] & 0x0F) == 8
+        and (data[0] >> 4) <= 7
+        and ((data[0] << 8) | data[1]) % 31 == 0
+    )
+
+
 def _flate(data: bytes) -> bytes | None:
-    for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):  # zlib header, raw deflate
-        try:
-            return zlib.decompressobj(wbits).decompress(data)
-        except zlib.error:
-            continue
-    return None
+    d = zlib.decompressobj(zlib.MAX_WBITS)
+    try:
+        out = d.decompress(data)
+        # accept only a COMPLETE stream: zlib validates the adler32
+        # checksum exactly when eof is reached, so a corrupt body that
+        # happens to form decodable huffman codes (observed: garbage
+        # prefix output with no exception) is rejected here instead of
+        # feeding the BT/ET scan (ADVICE r4); trailing bytes after the
+        # stream (EOL before `endstream`) leave eof True and are fine
+        if d.eof:
+            return out
+    except zlib.error:
+        pass
+    # Raw-deflate fallback ONLY for payloads that cannot be zlib-wrapped
+    # (ADVICE r4: raw inflate often "succeeds" with partial/garbage output
+    # on corrupt bytes — a damaged declared-Flate stream must be skipped,
+    # not fed to the BT/ET scan). A payload with a valid zlib header that
+    # failed above is corrupt, not raw. The raw result is accepted only if
+    # the deflate stream ran to its BFINAL block (eof) — trailing bytes
+    # past it (EOL padding before `endstream`) are tolerated.
+    if _zlib_header_plausible(data):
+        return None
+    d = zlib.decompressobj(-zlib.MAX_WBITS)
+    try:
+        out = d.decompress(data)
+    except zlib.error:
+        return None
+    return out if d.eof else None
 
 
 def _ascii_hex_decode(data: bytes) -> bytes | None:

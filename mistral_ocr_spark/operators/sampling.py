@@ -90,6 +90,10 @@ def hash_split_column(
     IDENTICAL bucket ranges as ``hash_split``, including the
     remainder-absorbing rounding rule, via the shared ``_split_ranges``.
     Rows outside the covered range (fractions summing < 1) get NULL."""
+    if not fractions:
+        # fail at the call site, not as an opaque AttributeError when the
+        # caller touches the returned None (ADVICE r4)
+        raise ValueError("fractions must name at least one split")
     b = _bucket(key_col, salt, hash)
     expr = None
     for name, lo, hi in _split_ranges(fractions):

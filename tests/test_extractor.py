@@ -594,3 +594,39 @@ def test_pdf_lzw_width_boundaries_and_table_cap():
     r = random.Random(11)
     blob = bytes(r.randrange(256) for _ in range(60_000))
     assert _lzw_decode(_lzw_encode(blob)) == blob
+
+
+def test_pdf_flate_raw_deflate_still_decodes():
+    """Headerless (raw) deflate payloads remain supported — only gated
+    behind the zlib-header check now (ADVICE r4)."""
+    import zlib
+
+    from mistral_ocr_spark.extractor.pdf import _flate
+
+    content = b"BT (raw deflate body) Tj ET"
+    raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    payload = raw.compress(content) + raw.flush()
+    assert _flate(payload) == content
+
+
+def test_pdf_flate_rejects_garbage_and_corrupt_zlib():
+    """A damaged declared-Flate stream must be SKIPPED (None), not decoded
+    into garbage for the BT/ET scan (ADVICE r4): raw inflate often
+    'succeeds' with partial output on arbitrary bytes. Three cases: random
+    non-deflate bytes; a valid zlib header with a corrupt body (must NOT
+    fall through to raw); a truncated raw-deflate stream (no BFINAL →
+    rejected by the eof check)."""
+    import zlib
+
+    from mistral_ocr_spark.extractor.pdf import _flate
+
+    garbage = bytes(range(251, 256)) * 10
+    assert _flate(garbage) is None
+
+    good = zlib.compress(b"BT (x) Tj ET" * 10)
+    corrupt = good[:8] + bytes(b ^ 0xFF for b in good[8:20]) + good[20:]
+    assert _flate(corrupt) is None
+
+    raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    full = raw.compress(b"BT (truncated) Tj ET" * 50) + raw.flush()
+    assert _flate(full[: len(full) // 2]) is None

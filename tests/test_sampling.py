@@ -82,3 +82,11 @@ def test_hash_split_thirds_are_exhaustive(spark, sf_dir):
     d = _docs(spark, sf_dir)
     splits = hash_split(d, "doc_id", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
     assert sum(v.count() for v in splits.values()) == d.count()
+
+def test_hash_split_column_rejects_empty_fractions():
+    from mistral_ocr_spark.operators import sampling as SM
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one split"):
+        SM.hash_split_column("doc_id", {})

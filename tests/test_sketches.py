@@ -109,3 +109,26 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     exact = words.select("w").distinct().count()
     approx = K.approx_distinct(words, "w", rsd=0.02).collect()[0].approx_distinct
     assert abs(approx - exact) / exact < 0.1, (approx, exact)
+
+def test_heavy_hitters_threshold_boundary_is_exact_rational(spark):
+    """"At or above the threshold" is decided against the float's EXACT
+    rational value, not an FP product (ADVICE r4). Two boundary cases:
+
+    - threshold 0.125 is exactly representable: 8 singletons sit exactly
+      on the boundary (1/8) and must ALL be reported;
+    - the double 0.125-like literal 0.1 is strictly GREATER than 1/10
+      (0.1000000000000000055…), so 10 singletons sit strictly below it
+      and NONE may be reported — even though the float product
+      10 * 0.1 rounds to exactly 1.0 and would have admitted them."""
+    eight = spark.createDataFrame([(f"w{i}",) for i in range(8)], "v string")
+    got = {r.item for r in K.heavy_hitters(eight, "v", 0.125).collect()}
+    assert got == {f"w{i}" for i in range(8)}
+
+    ten = spark.createDataFrame([(f"w{i}",) for i in range(10)], "v string")
+    assert K.heavy_hitters(ten, "v", 0.1).count() == 0
+
+
+def test_heavy_hitters_rejects_sub_floor_threshold(spark):
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="1e-9"):
+        K.heavy_hitters(df, "v", 1e-12)
