@@ -96,6 +96,28 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
     )
 
 
+def exact_dedup_survivors(
+    docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """The surviving ROWS of ``exact_dedup`` (min key per fingerprint wins)
+    as a LINEAR single-pass plan: a window filter instead of the
+    aggregate + join-back, so it can sit mid-lineage — e.g. under an
+    Observation-carrying checkpoint write in the corpus pipeline, where a
+    self-join would branch the plan and double-observe (VERDICT r4 #7).
+    Same fingerprint, same keeper rule, same survivors as ``exact_dedup``;
+    one full-row shuffle on the fingerprint (vs the join formulation's
+    full-row join shuffle plus the separate aggregate)."""
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    w = Window.partitionBy(F.md5(norm)).orderBy(F.col(key_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def cross_doc_line_dedup(
     docs: DataFrame,
     min_df: int = 2,

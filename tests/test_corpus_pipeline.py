@@ -131,3 +131,30 @@ def test_final_plan_contains_no_extraction_recompute(spark):
     out = build_training_corpus(pages, benchmark=bench)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" not in plan, f"extraction recomputed in final plan:\n{plan[:1200]}"
+
+
+def test_stats_cost_zero_extra_actions(spark, monkeypatch):
+    """The stats contract rides Observations on the checkpoint writes
+    (VERDICT r4 #7) — a stats run must trigger ZERO DataFrame.count calls
+    (banned outright here) and still produce the exact per-stage numbers
+    the count-based implementation produced."""
+    from pyspark.sql import DataFrame
+
+    def banned(self):  # pragma: no cover - should never run
+        raise AssertionError("DataFrame.count() called during a stats run")
+
+    monkeypatch.setattr(DataFrame, "count", banned)
+    pages = _corpus(spark)
+    bench = spark.createDataFrame([(100, _UNIQUE[5])], ["bench_id", "text"])
+    stats: dict = {}
+    out = build_training_corpus(
+        pages, benchmark=bench, require_rep=True, line_min_df=2, stats=stats
+    ).collect()
+    assert stats == {
+        "extracted": 8,
+        "after_exact_dedup": 7,
+        "after_line_dedup": 7,
+        "after_quality": 6,
+        "after_decontamination": 5,
+    }
+    assert len(out) == 5

@@ -465,3 +465,23 @@ def test_cross_doc_line_dedup_deterministic_across_parallelism(spark):
     rb = sorted(tuple(r) for r in b.collect())
     assert ra == rb
     assert all(r[1] == f"body {r[0]} alpha\nbody {r[0]} beta" for r in ra)
+
+
+def test_exact_dedup_survivors_equals_join_formulation(spark, sf_dir):
+    """The linear window form keeps exactly the rows the aggregate+join
+    form would (same fingerprint, same min-key keeper rule) — including on
+    planted exact-duplicate pairs that differ only in whitespace."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(100001, "a  b\tc "), (100002, "a b c"), (100003, " a b  c")],
+        ["doc_id", "text"],
+    )
+    docs = docs.unionByName(extra)
+    keepers = {
+        r.keeper_id for r in D.exact_dedup(docs, key_col="doc_id").collect()
+    }
+    survivors = {
+        r.doc_id for r in D.exact_dedup_survivors(docs, key_col="doc_id").collect()
+    }
+    assert survivors == keepers
+    assert 100001 in survivors and 100002 not in survivors and 100003 not in survivors
