@@ -236,8 +236,13 @@ def error_rollup(spark, sf_dir):
 @_q(
     # A4 + A5 in one query (folded r3 — COVERAGE.md §cap): the distinct
     # ordered lang list (group keys, ordered) with per-lang doc/byte rollups.
+    # A6 folded here in r5 (freeing get_or_create_dedup's slot for
+    # bm25_search): `first_id` is the get-or-create keeper — the min key
+    # per group, the same reuse-the-existing-row rule, value-checked per
+    # lang group instead of per source group.
     "lang_rollup",
-    "SELECT lang, CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars "
+    "SELECT lang, CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars, "
+    "CAST(min(doc_id) AS BIGINT) AS first_id "
     "FROM documents GROUP BY lang ORDER BY lang",
 )
 def lang_rollup(spark, sf_dir):
@@ -247,6 +252,7 @@ def lang_rollup(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("docs"),
             F.sum("n_chars").cast("bigint").alias("chars"),
+            F.min("doc_id").cast("bigint").alias("first_id"),
         )
         .orderBy("lang")
     )
@@ -341,18 +347,6 @@ def resume_anti_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
-
-
-@_q(
-    "get_or_create_dedup",  # A6: get-or-create by name
-    "SELECT source, CAST(min(doc_id) AS BIGINT) AS first_id, CAST(count(*) AS BIGINT) AS n "
-    "FROM documents GROUP BY source",
-)
-def get_or_create_dedup(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").groupBy("source").agg(
-        F.min("doc_id").cast("bigint").alias("first_id"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
 
 
 @_q(
@@ -596,23 +590,15 @@ def rollup_returns(spark, sf_dir):
 
 
 @_q(
-    "quantiles_qty",  # exact interpolated percentiles per group
-    "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50, "
-    "round(quantile_cont(l_quantity, 0.9), 6) AS p90 "
-    "FROM lineitem GROUP BY l_returnflag",
-)
-def quantiles_qty(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
-    )
-
-
-@_q(
-    "stats_agg",  # corr / stddev statistical aggregates
+    # corr / stddev statistical aggregates; exact interpolated percentiles
+    # folded in from quantiles_qty in r5 (freeing its slot for line_dedup —
+    # COVERAGE.md §cap): p50/p90 of o_totalprice per group, the identical
+    # quantile_cont/percentile interpolation check on this query's table.
+    "stats_agg",
     "SELECT o_orderpriority, round(corr(o_totalprice, o_custkey), 6) AS price_cust_corr, "
-    "round(stddev_samp(o_totalprice), 4) AS price_sd, CAST(count(*) AS BIGINT) AS n "
+    "round(stddev_samp(o_totalprice), 4) AS price_sd, CAST(count(*) AS BIGINT) AS n, "
+    "round(quantile_cont(o_totalprice, 0.5), 6) AS p50, "
+    "round(quantile_cont(o_totalprice, 0.9), 6) AS p90 "
     "FROM orders GROUP BY o_orderpriority",
 )
 def stats_agg(spark, sf_dir):
@@ -621,6 +607,8 @@ def stats_agg(spark, sf_dir):
         F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
         F.round(F.stddev_samp("o_totalprice"), 4).alias("price_sd"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
     )
 
 
@@ -903,6 +891,104 @@ WHERE a.id < b.id
   AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
       (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.6
 """
+
+
+# BM25 oracle: the identical Okapi/Lucene-smoothed formula in DuckDB
+# (k1=1.2, b=0.75 folded into the constants: 2.2 = k1+1, 0.25/0.75 = 1-b/b),
+# same 6-dp rounding, same (score DESC, doc_id) tie-break, same LIMIT.
+_BM25_TERMS = ["merge", "sort", "window"]
+_BM25_ORACLE = """
+WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+           FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM w WHERE w IN ('merge', 'sort', 'window')
+       GROUP BY 1, 2),
+dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+idf AS (SELECT w, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf, avgdl FROM dfq, stats),
+s AS (SELECT t.doc_id,
+        round(sum(i.idf * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl))), 6)
+        AS score
+      FROM tf t JOIN dl d USING (doc_id) JOIN idf i USING (w) GROUP BY 1)
+SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 15
+"""
+
+
+@_q(
+    # BM25 ranked search, INDEXED tier (VERDICT r4 #3): the scale-grade
+    # successor of the reference's `search` verb — simple_client.py:261-272
+    # is a full-scan SQL LIKE with LIMIT 50; this builds the persisted
+    # inverted index (postings partitionBy(term-bucket) → the query's term
+    # set prunes parquet partitions at the storage layer, plan-asserted in
+    # tests/test_textstats.py) and ranks with Okapi BM25. The driver row
+    # exercises build + pruned query end to end; indexed == ad-hoc equality
+    # and the partition-filter plan shape are pytest-pinned.
+    "bm25_search",
+    _BM25_ORACLE,
+)
+def bm25_search(spark, sf_dir):
+    from mistral_ocr_spark.operators.dedup import scratch_table_dir
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = X.bm25_index(docs, scratch_table_dir(spark) + "/bm25_index")
+    return X.bm25_topk(None, _BM25_TERMS, k=15, index_dir=idx, spark=spark)
+
+
+# line_dedup oracle: the documents fixture is single-line text, so both
+# engines derive the SAME deterministic multi-line column first — two
+# per-doc content lines (text substrings), one all-whitespace line, and two
+# boilerplate lines shared across documents (a constant banner; a per-lang
+# tag with df ≈ 100) — then run the FineWeb boilerplate-line rule on it.
+# At sf0.01 this yields 455 docs keeping their 2 content lines and 45 docs
+# whose substring lines collide with another doc's (df ≥ 2) and come back
+# fully emptied — the all-boilerplate edge case the operator pins.
+_LINE_DEDUP_ORACLE = r"""
+WITH t2 AS (
+  SELECT doc_id,
+    substring(text, 1, 70) || chr(10) ||
+    'cookie notice: this site uses cookies' || chr(10) ||
+    '   ' || chr(10) ||
+    substring(text, 30, 50) || chr(10) ||
+    'lang: ' || lang AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id, pos, regexp_replace(line, '^\s+|\s+$', '', 'g') AS t
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM t2)),
+body AS (SELECT * FROM lines WHERE t <> ''),
+hot AS (SELECT t FROM body GROUP BY t HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT * FROM body WHERE t NOT IN (SELECT t FROM hot)),
+rebuilt AS (SELECT doc_id, string_agg(t, chr(10) ORDER BY pos) AS text,
+            CAST(count(*) AS BIGINT) AS n_lines_kept FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total FROM body GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.text, '') AS text,
+  CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+  CAST(coalesce(t.n_total, 0) - coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_dropped
+FROM documents d LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN totals t USING (doc_id)
+"""
+
+
+@_q(
+    # Cross-document line dedup driver row (VERDICT r4 #8): the FineWeb/
+    # CCNet boilerplate-line rule — value-checks the hot-set detection
+    # (count_distinct docs per trimmed line), the anti-join, the
+    # order-preserving per-doc reassembly, and the one-row-per-input-doc
+    # anchoring (all-boilerplate docs return ("", 0, n), not dropped rows).
+    "line_dedup",
+    _LINE_DEDUP_ORACLE,
+)
+def line_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    text2 = F.concat_ws(
+        "\n",
+        F.substring("text", 1, 70),
+        F.lit("cookie notice: this site uses cookies"),
+        F.lit("   "),
+        F.substring("text", 30, 50),
+        F.concat(F.lit("lang: "), F.col("lang")),
+    )
+    return D.cross_doc_line_dedup(d.select("doc_id", text2.alias("text")))
 
 
 @_q(
@@ -1450,11 +1536,13 @@ def lineage_status(spark, sf_dir):
 # and keeping the total ≤ 50, folding something else if needed.
 _ORDER = [
     # flagship, then queries that have never received a driver row: the
-    # three r4 additions first (ann_ivf_topk / decontaminate /
-    # range_join_clicks, registered by folding display_formats→topk_orders,
-    # name_normalize→scalar_functions, fingerprints→token_counts —
-    # COVERAGE.md §cap), then the r3 cohort.
+    # two r5 additions first (bm25_search / line_dedup, registered by
+    # folding get_or_create_dedup→lang_rollup.first_id and
+    # quantiles_qty→stats_agg.p50/.p90 — COVERAGE.md §cap), then the r4
+    # and r3 cohorts.
     "pipeline_extract",
+    "bm25_search",
+    "line_dedup",
     "ann_ivf_topk",
     "decontaminate",
     "range_join_clicks",
@@ -1484,7 +1572,6 @@ _ORDER = [
     "event_sessionization",
     "topk_orders",
     "resume_anti_join",
-    "get_or_create_dedup",
     "mime_dispatch",
     "lang_rollup",
     "json_extract",
@@ -1497,7 +1584,6 @@ _ORDER = [
     "array_agg_parts",
     "set_except",
     "rollup_returns",
-    "quantiles_qty",
     "stats_agg",
     # text analysis
     "token_counts",
