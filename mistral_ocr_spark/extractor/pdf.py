@@ -39,12 +39,17 @@ Anything without extractable text objects is surfaced as
 reference's error_files side channel, simple_client.py:630-664). Stream
 filters (r4): FlateDecode, ASCIIHexDecode, ASCII85Decode, RunLengthDecode
 and LZWDecode, singly or as a decode cascade (§7.4) — image codecs
-(DCTDecode/JPX/JBIG2/CCITT) are skipped, not errors. Out of scope
-(documented, not silently wrong): nested unescaped parens in literal
-strings, stream /DecodeParms predictors (PNG/TIFF — xref-stream territory,
-not content streams), CID fonts WITHOUT a ToUnicode CMap (bytes decode
-latin-1), cross-reference STREAM decoding (the object scan makes it
-unnecessary for in-memory extraction).
+(DCTDecode/JPX/JBIG2/CCITT) are skipped, not errors. Cross-reference
+parsing (r5): classic tables, PDF 1.5+ xref STREAMS (/Type /XRef with
+W-array triplets, /Index subsections, PNG Predictor 10-15 and TIFF
+Predictor 2 /DecodeParms), hybrid /XRefStm files, and /Prev incremental
+chains — the newest update's entries override the byte scan, so
+incrementally updated files resolve the CURRENT body of each object and
+the current /Root (the scan remains the fallback for broken xrefs). Out
+of scope (documented, not silently wrong): nested unescaped parens in
+literal strings, /DecodeParms predictors on CONTENT streams (image
+territory), CID fonts WITHOUT a ToUnicode CMap (bytes decode latin-1),
+sub-byte TIFF predictor components.
 """
 
 from __future__ import annotations
@@ -501,13 +506,15 @@ def _render_text_object(body: bytes, fonts: dict[bytes, FontMap] | None = None) 
 # ---------------------------------------------------------------------------
 # Document structure: object index → catalog → page tree → per-page content
 # ---------------------------------------------------------------------------
-# Objects are indexed by scanning `N G obj … endobj` markers instead of
-# following the xref table: in-memory parsing doesn't need random access,
-# and crawled PDFs routinely carry broken/truncated xrefs while the object
-# bodies are intact (the xref's only unique job — locating the trailer's
-# /Root — is done by scanning for the /Root ref directly). PDF 1.5 object
-# streams (/Type /ObjStm: objects packed inside a Flate stream) are
+# Objects are indexed by scanning `N G obj … endobj` markers FIRST:
+# in-memory parsing doesn't need random access, and crawled PDFs routinely
+# carry broken/truncated xrefs while the object bodies are intact. PDF 1.5
+# object streams (/Type /ObjStm: objects packed inside a Flate stream) are
 # expanded into the index so page nodes stored compressed still resolve.
+# On top of the scan, the startxref chain (classic tables, xref streams,
+# hybrid files — r5) overrides with the CURRENT body per object number and
+# the current /Root, which the scan alone cannot know once incremental
+# updates leave multiple bodies in the file.
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
@@ -524,7 +531,24 @@ def _stream_data(body: bytes) -> bytes | None:
     if not m:
         return None
     data = m.group(1)
-    names = _declared_filters(body[: m.start()])
+    dict_bytes = body[: m.start()]
+    names = _declared_filters(dict_bytes)
+    # a DIRECT /Length is authoritative for the payload's byte count —
+    # without it, a payload whose last byte happens to be \r sits flush
+    # against the \n delimiter and the EOL-strip heuristic below eats it
+    # (found by the r5 W-array property test). Indirect /Length (N 0 R)
+    # is excluded by the lookahead and falls to the heuristic.
+    lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", dict_bytes)
+    if lm is not None and int(lm.group(1)) <= len(data):
+        data = data[: int(lm.group(1))]
+        if names:
+            return _apply_filters(data, names)
+        if data[:1] == b"\x78":  # zlib magic
+            try:
+                return zlib.decompressobj().decompress(data)
+            except zlib.error:
+                return None
+        return data
     if names:
         return _apply_filters(data, names)
     if data[:1] == b"\x78":  # zlib magic
@@ -544,23 +568,298 @@ def _dict_int(body: bytes, key: bytes) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def _object_index(raw: bytes) -> dict[int, bytes]:
+def _expand_objstm(body: bytes) -> list[tuple[int, bytes]] | None:
+    """The (objnum, body) list packed in one /ObjStm object, in stream
+    order, or None when the header doesn't parse."""
+    data = _stream_data(body)
+    n, first = _dict_int(body, rb"/N"), _dict_int(body, rb"/First")
+    if data is None or not n or first is None:
+        return None
+    header = data[:first].split()
+    if len(header) < 2 * n:
+        return None
+    pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
+    out = []
+    for i, (onum, off) in enumerate(pairs):
+        end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+        out.append((onum, data[first + off : first + end]))
+    return out
+
+
+def _obj_at_offset(raw: bytes, off: int, num: int) -> bytes | None:
+    """The body of object ``num`` parsed AT byte offset ``off`` (type-1
+    xref entry) — None when the offset doesn't hold that object header
+    (truncated/damaged xref: the scan index stays authoritative)."""
+    if not 0 <= off < len(raw):
+        return None
+    while off < len(raw) and raw[off : off + 1] in b" \t\r\n":
+        off += 1
+    m = _OBJ_RE.match(raw, off)
+    if m is None or int(m.group(1)) != num:
+        return None
+    return m.group(2)
+
+
+def _object_index(
+    raw: bytes, xref_entries: dict[int, tuple[int, int, int]] | None = None
+) -> dict[int, bytes]:
     objs: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(raw):
         objs[int(m.group(1))] = m.group(2)
     for body in [b for b in objs.values() if b"/ObjStm" in b]:
-        data = _stream_data(body)
-        n, first = _dict_int(body, rb"/N"), _dict_int(body, rb"/First")
-        if data is None or not n or first is None:
-            continue
-        header = data[:first].split()
-        if len(header) < 2 * n:
-            continue
-        pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
-        for i, (onum, off) in enumerate(pairs):
-            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
-            objs.setdefault(onum, data[first + off : first + end])
+        for onum, obody in _expand_objstm(body) or []:
+            objs.setdefault(onum, obody)
+    # xref-derived overrides (r5): the startxref chain is newest-first, so
+    # its entries are AUTHORITATIVE over scan order — an incrementally
+    # updated file can hold several bodies for one object number and the
+    # scan's last-in-file-wins rule picks the wrong one whenever a stale
+    # body sits later in the byte stream. Each type-1 entry re-parses the
+    # object at its recorded offset; each type-2 entry resolves through
+    # its /ObjStm. Any entry that fails to parse leaves the scan result.
+    if xref_entries:
+        objstm_cache: dict[int, list[tuple[int, bytes]] | None] = {}
+        for num, ent in xref_entries.items():
+            if ent[0] == 1:
+                body = _obj_at_offset(raw, ent[1], num)
+                if body is not None:
+                    objs[num] = body
+            elif ent[0] == 2:
+                snum = ent[1]
+                if snum not in objstm_cache:
+                    sbody = objs.get(snum)
+                    objstm_cache[snum] = (
+                        _expand_objstm(sbody) if sbody is not None else None
+                    )
+                lst = objstm_cache[snum]
+                if lst is not None and 0 <= ent[2] < len(lst) and lst[ent[2]][0] == num:
+                    objs[num] = lst[ent[2]][1]
     return objs
+
+
+# ---------------------------------------------------------------------------
+# Cross-reference parsing (r5): classic tables AND PDF 1.5+ xref STREAMS
+# (/Type /XRef, §7.5.8) — W-array triplets, /Index subsections, and the
+# /DecodeParms PNG/TIFF predictors the streams are almost always stored
+# with (Predictor 12 / Up in practice). The object SCAN above remains the
+# index backbone (crawled PDFs routinely carry broken xrefs while bodies
+# are intact); the xref chain adds what scanning cannot know — which body
+# is CURRENT when incremental updates leave several, and the authoritative
+# /Root of the newest update.
+# ---------------------------------------------------------------------------
+
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_XREF_LINE_RE = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes | None:
+    """Reverse the PNG row filters (/Predictor >= 10, §7.4.4.4 via RFC
+    2083): each row is one filter-type byte + ``columns*colors*bpc/8``
+    filtered bytes. All five filter types (None/Sub/Up/Average/Paeth);
+    an unknown type byte fails the whole decode (a desynced stream must
+    not be half-trusted). Trailing partial rows are dropped."""
+    rowlen = max(1, columns * colors * bpc // 8)
+    bpp = max(1, colors * bpc // 8)
+    stride = rowlen + 1
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data) - stride + 1, stride):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + 1 + rowlen])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        else:
+            return None
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _tiff_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes | None:
+    """Reverse TIFF Predictor 2 (horizontal differencing, 8-bit
+    components): rows of ``columns*colors`` bytes with no filter-type
+    byte, each byte a delta from the byte one sample-unit left."""
+    if bpc != 8:
+        return None  # sub-byte TIFF differencing: out of declared scope
+    rowlen = max(1, columns * colors)
+    bpp = max(1, colors)
+    out = bytearray(data[: len(data) - len(data) % rowlen])
+    for r in range(0, len(out), rowlen):
+        for i in range(bpp, rowlen):
+            out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
+    return bytes(out)
+
+
+def _int_array(body: bytes, key: bytes) -> list[int] | None:
+    m = re.search(key + rb"\s*\[([^\]]*)\]", body)
+    return [int(x) for x in re.findall(rb"-?\d+", m.group(1))] if m else None
+
+
+def _xref_stream_entries(body: bytes) -> dict | None:
+    """Decode one /Type /XRef stream object body → its section dict:
+    ``{"entries": {objnum: (type, f2, f3)}, "root": int|None,
+    "prev": int|None}``. The W array gives the three field widths in
+    bytes (w=0 → field absent: type defaults to 1, field-3 to 0); /Index
+    gives (start, count) subsection pairs, defaulting to [0, /Size]."""
+    if re.search(rb"/Type\s*/XRef\b", body) is None:
+        return None
+    data = _stream_data(body)
+    if data is None:
+        return None
+    parms = _value_dict(body, rb"/DecodeParms", {}) or _value_dict(body, rb"/DP", {})
+    if parms:
+        pred = _dict_int(parms, rb"/Predictor") or 1
+        cols = _dict_int(parms, rb"/Columns") or 1
+        colors = _dict_int(parms, rb"/Colors") or 1
+        bpc = _dict_int(parms, rb"/BitsPerComponent") or 8
+        if pred >= 10:
+            data = _png_unpredict(data, cols, colors, bpc)
+        elif pred == 2:
+            data = _tiff_unpredict(data, cols, colors, bpc)
+        if data is None:
+            return None
+    w = _int_array(body, rb"/W")
+    size = _dict_int(body, rb"/Size")
+    if not w or len(w) < 3 or any(x < 0 for x in w) or sum(w) == 0:
+        return None
+    w1, w2, w3 = w[0], w[1], w[2]
+    index = _int_array(body, rb"/Index")
+    if index is None or len(index) % 2:
+        index = [0, size if size is not None else 0]
+    ew = w1 + w2 + w3
+    entries: dict[int, tuple[int, int, int]] = {}
+    pos = 0
+    for s in range(0, len(index), 2):
+        start, count = index[s], index[s + 1]
+        for num in range(start, start + count):
+            chunk = data[pos : pos + ew]
+            pos += ew
+            if len(chunk) < ew:
+                break
+            o = 0
+            t = int.from_bytes(chunk[:w1], "big") if w1 else 1
+            o += w1
+            f2 = int.from_bytes(chunk[o : o + w2], "big") if w2 else 0
+            o += w2
+            f3 = int.from_bytes(chunk[o : o + w3], "big") if w3 else 0
+            entries[num] = (t, f2, f3)
+    return {
+        "entries": entries,
+        "root": _ref(body, rb"/Root"),
+        "prev": _dict_int(body, rb"/Prev"),
+        "xrefstm": None,
+    }
+
+
+def _classic_xref_section(raw: bytes, off: int) -> dict | None:
+    """Parse a classic ``xref`` table + ``trailer`` at ``off``; the
+    trailer's /XRefStm (hybrid-reference files, §7.5.8.4) is surfaced so
+    the chain walker can merge the stream's entries with precedence."""
+    m = re.compile(rb"xref\b").match(raw, off)
+    if m is None:
+        return None
+    pos = m.end()
+    entries: dict[int, tuple[int, int, int]] = {}
+    sub_re = re.compile(rb"\s*(\d+)\s+(\d+)\s*")
+    while True:
+        sm = sub_re.match(raw, pos)
+        if sm is None:
+            break
+        start, count = int(sm.group(1)), int(sm.group(2))
+        pos = sm.end()
+        for num in range(start, start + count):
+            em = _XREF_LINE_RE.match(raw, pos)
+            if em is None:
+                return None
+            pos = em.end()
+            while raw[pos : pos + 1] in b" \r\n":
+                pos += 1
+            if em.group(3) == b"n":
+                entries[num] = (1, int(em.group(1)), int(em.group(2)))
+    tm = re.compile(rb"\s*trailer\s*").match(raw, pos)
+    if tm is None:
+        return {"entries": entries, "root": None, "prev": None, "xrefstm": None}
+    tdict = _balanced_dict(raw, raw.find(b"<<", tm.end()))
+    if tdict is None:
+        return {"entries": entries, "root": None, "prev": None, "xrefstm": None}
+    return {
+        "entries": entries,
+        "root": _ref(tdict, rb"/Root"),
+        "prev": _dict_int(tdict, rb"/Prev"),
+        "xrefstm": _dict_int(tdict, rb"/XRefStm"),
+    }
+
+
+def _xref_section_at(raw: bytes, off: int) -> dict | None:
+    if not 0 <= off < len(raw):
+        return None
+    while off < len(raw) and raw[off : off + 1] in b" \t\r\n":
+        off += 1
+    if raw.startswith(b"xref", off):
+        return _classic_xref_section(raw, off)
+    m = _OBJ_RE.match(raw, off)
+    if m is None:
+        return None
+    return _xref_stream_entries(m.group(2))
+
+
+def _xref_chain(raw: bytes) -> tuple[int | None, dict[int, tuple[int, int, int]]]:
+    """Follow the LAST ``startxref`` through the /Prev chain (and hybrid
+    /XRefStm side links), newest section first. First-wins merging makes
+    the newest update's entries authoritative; the first /Root seen is the
+    current catalog. Bounded to 16 sections; any parse failure just ends
+    the walk (the scan index still stands)."""
+    ms = _STARTXREF_RE.findall(raw)
+    if not ms:
+        return None, {}
+    root: int | None = None
+    entries: dict[int, tuple[int, int, int]] = {}
+    seen: set[int] = set()
+    queue = [int(ms[-1])]
+    for _ in range(16):
+        if not queue:
+            break
+        off = queue.pop(0)
+        if off in seen:
+            continue
+        seen.add(off)
+        sec = _xref_section_at(raw, off)
+        if sec is None:
+            continue
+        if sec["xrefstm"] is not None:
+            # hybrid file: the side stream belongs to the SAME update and
+            # takes precedence over this classic section — walk it first
+            stm = _xref_section_at(raw, sec["xrefstm"])
+            if stm is not None:
+                if root is None:
+                    root = stm["root"]
+                for num, ent in stm["entries"].items():
+                    entries.setdefault(num, ent)
+        if root is None:
+            root = sec["root"]
+        for num, ent in sec["entries"].items():
+            entries.setdefault(num, ent)
+        if sec["prev"] is not None:
+            queue.append(sec["prev"])
+    return root, entries
 
 
 def _ref(body: bytes, key: bytes) -> int | None:
@@ -644,11 +943,19 @@ def _page_contents_in_order(raw: bytes) -> list[tuple[bytes, dict[bytes, FontMap
     """Per-page (content bytes, font table) in PAGE-TREE order, or None when
     the document carries no resolvable catalog/page tree (minimal fixtures,
     damaged files) — the caller then falls back to byte-order scanning."""
-    root_m = _ROOT_RE.search(raw)
-    if not root_m:
+    # the startxref chain (classic, stream, or hybrid xref) names the
+    # CURRENT catalog and the current body of every object — authoritative
+    # over raw-byte scanning for incrementally updated files; the /Root
+    # byte scan stays as the fallback for files with broken/absent xrefs
+    xref_root, xref_entries = _xref_chain(raw)
+    root_num = xref_root
+    if root_num is None:
+        root_m = _ROOT_RE.search(raw)
+        root_num = int(root_m.group(1)) if root_m else None
+    if root_num is None:
         return None
-    objs = _object_index(raw)
-    catalog = objs.get(int(root_m.group(1)))
+    objs = _object_index(raw, xref_entries)
+    catalog = objs.get(root_num)
     if catalog is None:
         return None
     pages_ref = _ref(catalog, rb"/Pages")

@@ -630,3 +630,139 @@ def test_pdf_flate_rejects_garbage_and_corrupt_zlib():
     raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)
     full = raw.compress(b"BT (truncated) Tj ET" * 50) + raw.flush()
     assert _flate(full[: len(full) // 2]) is None
+
+
+def _build_xref_stream_pdf(stale_update: bool = False) -> bytes:
+    """A PDF 1.5 file with NO classic trailer: the cross-reference is a
+    /Type /XRef stream (W [1 2 1], FlateDecode, PNG Predictor 12) and the
+    /Root lives in its dict. Page TWO's content object deliberately
+    precedes page one's in byte order, so page-tree order != byte order.
+    With ``stale_update``, a stale body for the page-1 content object is
+    appended AFTER the real one — the scan's last-in-file rule would pick
+    it; the xref offsets must not."""
+    import zlib
+
+    objects = {}  # num -> body bytes (without the "N 0 obj"/"endobj" frame)
+
+    def content_obj(text: str) -> bytes:
+        z = zlib.compress(f"BT /F1 12 Tf ({text}) Tj ET".encode())
+        return (
+            b"<< /Filter /FlateDecode /Length " + str(len(z)).encode() + b" >>\n"
+            b"stream\n" + z + b"\nendstream\n"
+        )
+
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>\n"
+    objects[2] = b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>\n"
+    objects[3] = b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+    objects[4] = content_obj("page one text")
+    objects[5] = b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\n"
+    objects[6] = content_obj("page two text")
+
+    buf = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num in (1, 2, 6, 3, 5, 4):  # page-2 content BEFORE page-1 content
+        offsets[num] = len(buf)
+        buf += str(num).encode() + b" 0 obj\n" + objects[num] + b"endobj\n"
+    if stale_update:
+        # unreferenced stale body, later in the file than the real object 4
+        buf += (
+            b"4 0 obj\n" + content_obj("STALE superseded text") + b"endobj\n"
+        )
+
+    xref_num = 7
+    offsets[xref_num] = len(buf)
+    import struct
+
+    rows = []
+    for num in range(1, 8):
+        off = offsets.get(num, 0)
+        rows.append(struct.pack(">B", 1) + struct.pack(">H", off) + b"\x00")
+    # PNG Predictor 12 (Up): filter byte 2, each row minus the previous
+    cols = 4
+    pred = bytearray()
+    prev = b"\x00" * cols
+    for r in rows:
+        pred += b"\x02" + bytes((r[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = r
+    z = zlib.compress(bytes(pred))
+    buf += (
+        b"7 0 obj\n<< /Type /XRef /W [1 2 1] /Index [1 7] /Size 8 "
+        b"/Root 1 0 R /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 4 >> /Length "
+        + str(len(z)).encode()
+        + b" >>\nstream\n"
+        + z
+        + b"\nendstream\nendobj\n"
+    )
+    buf += b"startxref\n" + str(offsets[xref_num]).encode() + b"\n%%EOF\n"
+    return bytes(buf)
+
+
+def test_pdf_xref_stream_structured_path_in_page_order():
+    """A PDF 1.5 xref-STREAM file (no classic trailer anywhere) decodes via
+    the structured path: pages come out in page-TREE order even though the
+    content objects are scrambled in byte order, and the /Root is taken
+    from the xref stream's dict (VERDICT r4 #9)."""
+    raw = _build_xref_stream_pdf()
+    assert b"trailer" not in raw
+    assert extract_pdf_text(raw) == ["page one text", "page two text"]
+    r = extract(raw)
+    assert r.text == "page one text\n\npage two text"
+    assert r.encoding == "pdf"
+
+
+def test_pdf_xref_offsets_beat_scan_order_on_stale_bodies():
+    """Incremental-update authority: when a stale body for an object sits
+    LATER in the file than the current one, the scan's last-in-file rule
+    is wrong and the xref's type-1 offset must win."""
+    raw = _build_xref_stream_pdf(stale_update=True)
+    got = extract_pdf_text(raw)
+    assert got == ["page one text", "page two text"], got
+
+
+def test_pdf_classic_xref_prev_chain_authority():
+    """Classic xref tables with a /Prev incremental-update chain: the
+    NEWEST section's offset for an updated object wins over both the
+    original body and a stale orphan body sitting last in the file."""
+    import zlib
+
+    def frame(num: int, body: bytes) -> bytes:
+        return str(num).encode() + b" 0 obj\n" + body + b"endobj\n"
+
+    def content(text: str) -> bytes:
+        z = zlib.compress(f"BT ({text}) Tj ET".encode())
+        return (
+            b"<< /Filter /FlateDecode /Length " + str(len(z)).encode()
+            + b" >>\nstream\n" + z + b"\nendstream\n"
+        )
+
+    buf = bytearray(b"%PDF-1.4\n")
+    off = {}
+    for num, body in [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>\n"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"),
+        (4, content("original v1")),
+    ]:
+        off[num] = len(buf)
+        buf += frame(num, body)
+    xref1 = len(buf)
+    buf += b"xref\n0 5\n" + b"0000000000 65535 f \n"
+    for num in (1, 2, 3, 4):
+        buf += f"{off[num]:010d} 00000 n \n".encode()
+    buf += b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n" + str(xref1).encode() + b"\n%%EOF\n"
+
+    # incremental update: object 4 superseded by v2
+    off4b = len(buf)
+    buf += frame(4, content("updated v2"))
+    xref2 = len(buf)
+    buf += b"xref\n4 1\n" + f"{off4b:010d} 00000 n \n".encode()
+    buf += (
+        b"trailer\n<< /Size 5 /Root 1 0 R /Prev " + str(xref1).encode()
+        + b" >>\nstartxref\n" + str(xref2).encode() + b"\n%%EOF\n"
+    )
+    # stale orphan AFTER the update — scan order would pick it
+    buf += frame(4, content("STALE orphan"))
+
+    got = extract_pdf_text(bytes(buf))
+    assert got == ["updated v2"], got
