@@ -404,7 +404,26 @@ def main() -> None:
             words = docs.select(
                 F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
             )
+            # steady-state query tier: the bm25_search / ann_ivf_topk rows
+            # above time BUILD+query (the index-once tier doing its one-off
+            # work inside a per-query benchmark — r4 verdict plan-audit
+            # note); these two time the amortized per-query cost against a
+            # PREBUILT index, which is what repeated production queries pay
+            from mistral_ocr_spark.operators import similarity as SIM
+
+            emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            bm25_dir = f"{tmp}/bm25_steady"
+            X.bm25_index(docs, bm25_dir)
+            ivf_dir = f"{tmp}/ivf_steady"
+            ivf_centroids = SIM.ivf_index(emb, ivf_dir, n_centroids=16, n_iters=3)
             extra = {
+                "bm25_query_only": lambda: X.bm25_topk(
+                    None, ["merge", "sort", "window"], k=15, index_dir=bm25_dir,
+                    spark=spark,
+                ),
+                "ivf_search_only": lambda: SIM.ivf_topk(
+                    spark, ivf_dir, ivf_centroids, query_id=0, k=10, nprobe=4
+                ),
                 "bm25_adhoc": lambda: X.bm25_topk(
                     docs, ["merge", "sort", "window"], k=15
                 ),

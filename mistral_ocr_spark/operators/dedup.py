@@ -327,6 +327,22 @@ def _minhash_batch_fn(num_hashes: int):
     return fn
 
 
+def _signatures_from_shingle_hashes(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, shingles) → (id, sig): the numpy permutation/min reduction over
+    pre-hashed shingle arrays — shared by the one-shot path and the
+    persisted index (which derives signatures from its stored shingle
+    table so index build costs ONE corpus text pass)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    return sh.select("id", F.col("shingles").alias("sh_hash")).mapInPandas(
+        _minhash_batch_fn(num_hashes), schema
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 64, key_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -338,15 +354,9 @@ def minhash_signatures(
     int64 array.
     """
     sh = with_shingle_hashes(docs, text_col).select(
-        F.col(key_col).alias("id"), F.col("shingles").alias("sh_hash")
+        F.col(key_col).alias("id"), "shingles"
     )
-    schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("sig", T.ArrayType(T.LongType())),
-        ]
-    )
-    return sh.mapInPandas(_minhash_batch_fn(num_hashes), schema)
+    return _signatures_from_shingle_hashes(sh, num_hashes)
 
 
 def hoeffding_margin(num_hashes: int, miss_prob: float = 1e-6) -> float:
@@ -391,18 +401,7 @@ def minhash_lsh_pairs(
         sig_path = os.path.join(scratch_dir, "signatures.parquet")
         sigs.write.mode("overwrite").parquet(sig_path)
         sigs = docs.sparkSession.read.parquet(sig_path)
-    band_cols = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda i: F.struct(
-                i.alias("band"),
-                F.xxhash64(F.concat_ws("_", F.slice(F.col("sig"), i * rows + 1, rows)), i).alias(
-                    "bucket"
-                ),
-            ),
-        )
-    )
-    buckets = sigs.select("id", band_cols.alias("bb")).select(
+    buckets = sigs.select("id", _band_bucket_cols(bands, rows).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     cand = (
@@ -441,6 +440,200 @@ def minhash_lsh_pairs(
     sh_path = os.path.join(scratch_dir, "shingle_hashes.parquet")
     sh.write.mode("overwrite").parquet(sh_path)
     sh = docs.sparkSession.read.parquet(sh_path)
+    verified = (
+        cand.join(sh.withColumnRenamed("shingles", "sh_a"), cand.id_a == sh.id)
+        .drop("id")
+        .join(
+            sh.withColumnRenamed("shingles", "sh_b").withColumnRenamed("id", "id2"),
+            F.col("id_b") == F.col("id2"),
+        )
+        .drop("id2")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return verified.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _band_bucket_cols(bands: int, rows: int):
+    """The exploded (band, bucket) struct stream for a signature column —
+    shared between the one-shot LSH path and the persisted index."""
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.struct(
+                i.alias("band"),
+                F.xxhash64(
+                    F.concat_ws("_", F.slice(F.col("sig"), i * rows + 1, rows)), i
+                ).alias("bucket"),
+            ),
+        )
+    )
+
+
+_MINHASH_INDEX_DIRS = 64  # bucket-hash partition dirs (pruning granularity)
+
+
+def minhash_index(
+    docs: DataFrame,
+    index_dir: str,
+    num_hashes: int = 64,
+    bands: int = 32,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Persist the MinHash dedup index ONCE — the query-many tier
+    (completing the signature_index / ivf_index / bm25_index family for
+    text near-dup): the production shape where a daily crawl increment
+    dedups against the historical corpus without re-signing it.
+
+    - ``meta/`` — (num_hashes, bands) one row. Stored params are
+      AUTHORITATIVE at query time (the bm25 modulus rule: a caller-side
+      mismatch would silently hash bands differently and miss every
+      cross-increment duplicate).
+    - ``signatures/`` — (id, sig) for the estimate prefilter.
+    - ``buckets/`` — (band, bucket, id), written
+      ``partitionBy(_bb = pmod(bucket, 64))`` so a SMALL increment's
+      candidate buckets prune parquet partitions at the storage layer
+      (the lsh_bucket_index pattern).
+    - ``shingles/`` — (id, shingles) hashed-shingle arrays for EXACT
+      verification (the index trades storage ~ corpus token count for
+      keeping the exact-answer-set contract incrementally).
+    """
+    rows = num_hashes // bands
+    spark = docs.sparkSession
+    # ONE corpus text pass: shingle-hash → persist; signatures derive from
+    # the persisted shingle table, buckets from the persisted signatures
+    with_shingle_hashes(docs, text_col).select(
+        F.col(key_col).alias("id"), "shingles"
+    ).write.mode("overwrite").parquet(f"{index_dir}/shingles")
+    sh = spark.read.parquet(f"{index_dir}/shingles")
+    _signatures_from_shingle_hashes(sh, num_hashes).write.mode("overwrite").parquet(
+        f"{index_dir}/signatures"
+    )
+    sigs = spark.read.parquet(f"{index_dir}/signatures")
+    (
+        sigs.select("id", _band_bucket_cols(bands, rows).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .withColumn("_bb", F.pmod(F.col("bucket"), F.lit(_MINHASH_INDEX_DIRS)))
+        .write.mode("overwrite")
+        .partitionBy("_bb")
+        .parquet(f"{index_dir}/buckets")
+    )
+    spark.range(1).select(
+        F.lit(num_hashes).alias("num_hashes"), F.lit(bands).alias("bands")
+    ).write.mode("overwrite").parquet(f"{index_dir}/meta")
+    return index_dir
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index_dir: str,
+    threshold: float,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    est_margin: float | None = None,
+    include_new_new: bool = True,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs ≥ ``threshold`` INVOLVING the new batch — new-vs-
+    indexed-corpus and (with ``include_new_new``) new-vs-new — against a
+    ``minhash_index``, without touching the indexed corpus's text: only
+    the increment is signed/shingled; the corpus contributes its persisted
+    tables. Output matches ``minhash_lsh_pairs`` over the union corpus,
+    restricted to pairs with ≥1 new member (same banding, same Hoeffding
+    prefilter, same exact verification ⇒ same exact answer set; ids must
+    be unique across corpus and increment — the pipeline's xxhash64(url)
+    key satisfies this by construction).
+
+    Plan shape at 10^12 indexed docs + 10^6-doc increment: the increment's
+    distinct (band,bucket) keys reduce the indexed ``buckets/`` scan to
+    the matching ``_bb`` partitions (storage-layer pruning, plan-asserted
+    in tests); the candidate join, prefilter join, and verify join are all
+    keyed on ids that appear in candidates — never a corpus-wide scan of
+    signatures or shingles without the candidate cut. No forced broadcast
+    anywhere: a pathological increment degrades to shuffle joins instead
+    of OOMing the driver (the signature_rerank policy).
+    """
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    num_hashes, bands = int(meta.num_hashes), int(meta.bands)
+    rows = num_hashes // bands
+    if est_margin is None:
+        est_margin = hoeffding_margin(num_hashes)
+    if scratch_dir is None:
+        scratch_dir = scratch_table_dir(spark)
+
+    # one text pass over the increment: shingle-hash → scratch; signatures
+    # derive from the stored table (the index-build shape)
+    nsh_path = os.path.join(scratch_dir, "inc_shingles.parquet")
+    with_shingle_hashes(new_docs, text_col).select(
+        F.col(key_col).alias("id"), "shingles"
+    ).write.mode("overwrite").parquet(nsh_path)
+    new_sh = spark.read.parquet(nsh_path)
+    new_sig_path = os.path.join(scratch_dir, "inc_signatures.parquet")
+    _signatures_from_shingle_hashes(new_sh, num_hashes).write.mode(
+        "overwrite"
+    ).parquet(new_sig_path)
+    new_sigs = spark.read.parquet(new_sig_path)
+    new_buckets = (
+        new_sigs.select("id", _band_bucket_cols(bands, rows).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    nb_path = os.path.join(scratch_dir, "inc_buckets.parquet")
+    new_buckets.write.mode("overwrite").parquet(nb_path)
+    new_buckets = spark.read.parquet(nb_path)
+
+    # storage-layer pruning: the increment's bucket dirs, driver-side
+    # (bounded: ≤ 64 distinct _bb values by construction)
+    bbs = [
+        r._bb
+        for r in new_buckets.select(
+            F.pmod(F.col("bucket"), F.lit(_MINHASH_INDEX_DIRS)).alias("_bb")
+        )
+        .distinct()
+        .collect()
+    ]
+    idx_buckets = (
+        spark.read.parquet(f"{index_dir}/buckets")
+        .filter(F.col("_bb").isin(bbs))
+        .select("id", "band", "bucket")
+    )
+    old_new = (
+        idx_buckets.alias("x")
+        .join(new_buckets.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") != F.col("y.id"))
+        .select(
+            F.least("x.id", "y.id").alias("id_a"),
+            F.greatest("x.id", "y.id").alias("id_b"),
+        )
+    )
+    cand = old_new
+    if include_new_new:
+        new_new = (
+            new_buckets.alias("x")
+            .join(new_buckets.alias("y"), ["band", "bucket"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        )
+        cand = cand.unionByName(new_new)
+    cand = cand.distinct()
+
+    sigs = spark.read.parquet(f"{index_dir}/signatures").unionByName(new_sigs)
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(num_hashes)
+    cand = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .filter(est >= threshold - est_margin)
+        .select("id_a", "id_b")
+    )
+
+    sh = spark.read.parquet(f"{index_dir}/shingles").unionByName(new_sh)
     verified = (
         cand.join(sh.withColumnRenamed("shingles", "sh_a"), cand.id_a == sh.id)
         .drop("id")

@@ -485,3 +485,72 @@ def test_exact_dedup_survivors_equals_join_formulation(spark, sf_dir):
     }
     assert survivors == keepers
     assert 100001 in survivors and 100002 not in survivors and 100003 not in survivors
+
+
+def test_minhash_incremental_index_matches_union_brute_force(spark, sf_dir, tmp_path):
+    """The persisted-index incremental tier returns EXACTLY the pairs the
+    one-shot path would find on the union corpus, restricted to pairs
+    involving the increment — without re-signing the indexed corpus. The
+    increment contains near-dups of indexed docs (last word dropped) AND
+    a near-dup pair within the increment itself."""
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    idx = D.minhash_index(base, str(tmp_path / "mh_idx"))
+    # increment: perturbed copies of indexed docs 0-9 (new-vs-old dups),
+    # plus a new-vs-new dup pair planted at ids 200000/200001
+    inc = (
+        base.filter(F.col("doc_id") < 10)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"\s+\S+$", "").alias("text"),
+        )
+    )
+    pair = spark.createDataFrame(
+        [
+            (200000, "planted twin document about shuffle hash join plans here"),
+            (200001, "planted twin document about shuffle hash join plans there"),
+        ],
+        ["doc_id", "text"],
+    )
+    inc = inc.unionByName(pair)
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_lsh_pairs_incremental(inc, idx, threshold=0.5).collect()
+    }
+    new_ids = {r.doc_id for r in inc.select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.jaccard_pairs_exact(base.unionByName(inc), threshold=0.5).collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    assert got == want and len(want) >= 11, f"{len(got)} vs {len(want)}"
+
+
+def test_minhash_incremental_uses_stored_params_and_prunes(spark, sf_dir, tmp_path):
+    """Index built at NON-default (num_hashes=32, bands=16): the query side
+    must read the stored params (a 64-hash default would zip 64-wide
+    signatures against 32-wide ones and break), and the increment's bucket
+    filter must reach the indexed buckets scan as a PARTITION filter."""
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    idx = D.minhash_index(
+        base, str(tmp_path / "mh_idx32"), num_hashes=32, bands=16
+    )
+    inc = base.filter(F.col("doc_id") < 6).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+$", "").alias("text"),
+    )
+    df = D.minhash_lsh_pairs_incremental(inc, idx, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in df.collect()}
+    assert {(i, i + 100000) for i in range(6)} <= got
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_bb" in plan.split("PartitionFilters")[1][:160], (
+        f"bucket-dir filter not pushed to partition pruning:\n{plan[:1200]}"
+    )
