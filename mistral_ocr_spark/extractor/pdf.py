@@ -537,18 +537,15 @@ def _stream_data(body: bytes) -> bytes | None:
     # without it, a payload whose last byte happens to be \r sits flush
     # against the \n delimiter and the EOL-strip heuristic below eats it
     # (found by the r5 W-array property test). Indirect /Length (N 0 R)
-    # is excluded by the lookahead and falls to the heuristic.
-    lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", dict_bytes)
-    if lm is not None and int(lm.group(1)) <= len(data):
+    # falls to the heuristic: the (?!\d) guard stops the regex engine from
+    # backtracking a multi-digit ref number into a truncated "direct"
+    # length (r5 review: `/Length 71 0 R` would otherwise match as 7 and
+    # slice the payload to garbage), and the second lookahead rejects the
+    # full indirect form.
+    lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", dict_bytes)
+    exact_len = lm is not None and int(lm.group(1)) <= len(data)
+    if exact_len:
         data = data[: int(lm.group(1))]
-        if names:
-            return _apply_filters(data, names)
-        if data[:1] == b"\x78":  # zlib magic
-            try:
-                return zlib.decompressobj().decompress(data)
-            except zlib.error:
-                return None
-        return data
     if names:
         return _apply_filters(data, names)
     if data[:1] == b"\x78":  # zlib magic
@@ -556,10 +553,11 @@ def _stream_data(body: bytes) -> bytes | None:
             return zlib.decompressobj().decompress(data)
         except zlib.error:
             return None
-    if data.endswith(b"\r\n"):
-        return data[:-2]
-    if data.endswith((b"\n", b"\r")):
-        return data[:-1]
+    if not exact_len:
+        if data.endswith(b"\r\n"):
+            return data[:-2]
+        if data.endswith((b"\n", b"\r")):
+            return data[:-1]
     return data
 
 
@@ -606,31 +604,40 @@ def _object_index(
     objs: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(raw):
         objs[int(m.group(1))] = m.group(2)
-    for body in [b for b in objs.values() if b"/ObjStm" in b]:
-        for onum, obody in _expand_objstm(body) or []:
+    # scan-phase ObjStm expansion, kept keyed by container number so the
+    # type-2 override pass below reuses it instead of re-decompressing
+    # every container (r5 review: extraction is the per-document hot path)
+    expanded: dict[int, list[tuple[int, bytes]] | None] = {}
+    for num, body in [(n, b) for n, b in objs.items() if b"/ObjStm" in b]:
+        lst = _expand_objstm(body)
+        expanded[num] = lst
+        for onum, obody in lst or []:
             objs.setdefault(onum, obody)
     # xref-derived overrides (r5): the startxref chain is newest-first, so
     # its entries are AUTHORITATIVE over scan order — an incrementally
     # updated file can hold several bodies for one object number and the
     # scan's last-in-file-wins rule picks the wrong one whenever a stale
-    # body sits later in the byte stream. Each type-1 entry re-parses the
-    # object at its recorded offset; each type-2 entry resolves through
-    # its /ObjStm. Any entry that fails to parse leaves the scan result.
+    # body sits later in the byte stream. Any entry that fails to parse
+    # leaves the scan result. ALL type-1 entries apply BEFORE any type-2
+    # entry resolves through its /ObjStm: the container's own type-1
+    # override must land first, or a member would expand a stale container
+    # body (r5 review — ascending-objnum iteration hit exactly that, since
+    # containers usually carry high object numbers).
     if xref_entries:
-        objstm_cache: dict[int, list[tuple[int, bytes]] | None] = {}
         for num, ent in xref_entries.items():
             if ent[0] == 1:
                 body = _obj_at_offset(raw, ent[1], num)
                 if body is not None:
+                    if num in expanded and objs.get(num) != body:
+                        expanded.pop(num)  # superseded container: re-expand
                     objs[num] = body
-            elif ent[0] == 2:
+        for num, ent in xref_entries.items():
+            if ent[0] == 2:
                 snum = ent[1]
-                if snum not in objstm_cache:
+                if snum not in expanded:
                     sbody = objs.get(snum)
-                    objstm_cache[snum] = (
-                        _expand_objstm(sbody) if sbody is not None else None
-                    )
-                lst = objstm_cache[snum]
+                    expanded[snum] = _expand_objstm(sbody) if sbody is not None else None
+                lst = expanded[snum]
                 if lst is not None and 0 <= ent[2] < len(lst) and lst[ent[2]][0] == num:
                     objs[num] = lst[ent[2]][1]
     return objs

@@ -359,6 +359,47 @@ def minhash_signatures(
     return _signatures_from_shingle_hashes(sh, num_hashes)
 
 
+def _estimate_prefilter(
+    cand: DataFrame, sigs: DataFrame, num_hashes: int, threshold: float, est_margin: float
+) -> DataFrame:
+    """Signature-estimate prefilter shared by the one-shot and incremental
+    tiers: E[matching minhash components] = true Jaccard, so candidate
+    pairs whose estimate sits more than ``est_margin`` below the threshold
+    are cut before the exact-verification join (Hoeffding-bounded miss
+    probability — see ``hoeffding_margin``)."""
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(num_hashes)
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .filter(est >= threshold - est_margin)
+        .select("id_a", "id_b")
+    )
+
+
+def _exact_verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact hashed-shingle Jaccard verification tail shared by both
+    tiers: join each candidate side to its shingle array, compute
+    intersection-over-union, keep pairs ≥ threshold (6-dp rounded)."""
+    verified = (
+        cand.join(sh.withColumnRenamed("shingles", "sh_a"), cand.id_a == sh.id)
+        .drop("id")
+        .join(
+            sh.withColumnRenamed("shingles", "sh_b").withColumnRenamed("id", "id2"),
+            F.col("id_b") == F.col("id2"),
+        )
+        .drop("id2")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return verified.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def hoeffding_margin(num_hashes: int, miss_prob: float = 1e-6) -> float:
     """Signature-estimate prefilter margin sized so a true pair sitting
     exactly at the threshold is dropped with probability ≤ ``miss_prob``
@@ -412,22 +453,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if prefilter:
-        # Signature-estimate prefilter: E[matching minhash components] =
-        # true Jaccard, so pairs whose estimate sits far below the
-        # threshold are cut before the (expensive) exact-verification join.
         if est_margin is None:
             est_margin = hoeffding_margin(num_hashes)
-        sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-        sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-        est = F.size(
-            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
-        ) / F.lit(num_hashes)
-        cand = (
-            cand.join(sig_a, "id_a")
-            .join(sig_b, "id_b")
-            .filter(est >= threshold - est_margin)
-            .select("id_a", "id_b")
-        )
+        cand = _estimate_prefilter(cand, sigs, num_hashes, threshold, est_margin)
     # Exact verification runs on HASHED shingles (int64 arrays instead of
     # ~20-byte strings): identical set sizes and intersections up to a
     # ~n²/2^64 collision probability, at a fraction of the verify join's
@@ -440,20 +468,7 @@ def minhash_lsh_pairs(
     sh_path = os.path.join(scratch_dir, "shingle_hashes.parquet")
     sh.write.mode("overwrite").parquet(sh_path)
     sh = docs.sparkSession.read.parquet(sh_path)
-    verified = (
-        cand.join(sh.withColumnRenamed("shingles", "sh_a"), cand.id_a == sh.id)
-        .drop("id")
-        .join(
-            sh.withColumnRenamed("shingles", "sh_b").withColumnRenamed("id", "id2"),
-            F.col("id_b") == F.col("id2"),
-        )
-        .drop("id2")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    return verified.select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    return _exact_verify_pairs(cand, sh, threshold)
 
 
 def _band_bucket_cols(bands: int, rows: int):
@@ -521,8 +536,14 @@ def minhash_index(
         .partitionBy("_bb")
         .parquet(f"{index_dir}/buckets")
     )
+    # bucket_dirs persisted too (r5 review): the partition-pruning modulus
+    # is as load-bearing as num_hashes/bands — a query-side constant that
+    # drifted from the build would prune away real bucket directories and
+    # silently miss cross-increment duplicates (the bm25 modulus rule)
     spark.range(1).select(
-        F.lit(num_hashes).alias("num_hashes"), F.lit(bands).alias("bands")
+        F.lit(num_hashes).alias("num_hashes"),
+        F.lit(bands).alias("bands"),
+        F.lit(_MINHASH_INDEX_DIRS).alias("bucket_dirs"),
     ).write.mode("overwrite").parquet(f"{index_dir}/meta")
     return index_dir
 
@@ -559,6 +580,7 @@ def minhash_lsh_pairs_incremental(
     spark = new_docs.sparkSession
     meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
     num_hashes, bands = int(meta.num_hashes), int(meta.bands)
+    bucket_dirs = int(meta.bucket_dirs)
     rows = num_hashes // bands
     if est_margin is None:
         est_margin = hoeffding_margin(num_hashes)
@@ -586,11 +608,12 @@ def minhash_lsh_pairs_incremental(
     new_buckets = spark.read.parquet(nb_path)
 
     # storage-layer pruning: the increment's bucket dirs, driver-side
-    # (bounded: ≤ 64 distinct _bb values by construction)
+    # (bounded: ≤ bucket_dirs distinct _bb values by construction; the
+    # modulus comes from the index meta, never a module constant)
     bbs = [
         r._bb
         for r in new_buckets.select(
-            F.pmod(F.col("bucket"), F.lit(_MINHASH_INDEX_DIRS)).alias("_bb")
+            F.pmod(F.col("bucket"), F.lit(bucket_dirs)).alias("_bb")
         )
         .distinct()
         .collect()
@@ -621,33 +644,9 @@ def minhash_lsh_pairs_incremental(
     cand = cand.distinct()
 
     sigs = spark.read.parquet(f"{index_dir}/signatures").unionByName(new_sigs)
-    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
-    ) / F.lit(num_hashes)
-    cand = (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .filter(est >= threshold - est_margin)
-        .select("id_a", "id_b")
-    )
-
+    cand = _estimate_prefilter(cand, sigs, num_hashes, threshold, est_margin)
     sh = spark.read.parquet(f"{index_dir}/shingles").unionByName(new_sh)
-    verified = (
-        cand.join(sh.withColumnRenamed("shingles", "sh_a"), cand.id_a == sh.id)
-        .drop("id")
-        .join(
-            sh.withColumnRenamed("shingles", "sh_b").withColumnRenamed("id", "id2"),
-            F.col("id_b") == F.col("id2"),
-        )
-        .drop("id2")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    return verified.select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    return _exact_verify_pairs(cand, sh, threshold)
 
 
 # ---------------------------------------------------------------------------

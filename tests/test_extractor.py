@@ -766,3 +766,104 @@ def test_pdf_classic_xref_prev_chain_authority():
 
     got = extract_pdf_text(bytes(buf))
     assert got == ["updated v2"], got
+
+
+def test_pdf_indirect_multidigit_length_not_truncated():
+    """`/Length 71 0 R` (indirect, multi-digit ref) must fall to the
+    heuristic, not backtrack into a bogus direct length of 7 that slices
+    the payload (r5 review: the (?!...) lookahead alone lets the regex
+    engine retry with a shorter digit group)."""
+    import zlib
+
+    content = b"BT (indirect length body) Tj ET"
+    z = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.4\n4 0 obj\n<< /Filter /FlateDecode /Length 71 0 R >>\nstream\n"
+        + z
+        + b"\nendstream\nendobj\n71 0 obj\n"
+        + str(len(z)).encode()
+        + b"\nendobj\n"
+    )
+    r = extract(pdf)
+    assert r.text == "indirect length body"
+
+    # uncompressed stream with an indirect ref: heuristic EOL-strip path
+    from mistral_ocr_spark.extractor.pdf import _stream_data
+
+    body = b"<< /Length 42 0 R >>\nstream\nBT (abc) Tj ET\nendstream"
+    assert _stream_data(body) == b"BT (abc) Tj ET"
+
+
+def test_pdf_type2_entries_use_current_objstm_not_stale_scan_body():
+    """Type-2 xref entries must resolve through the CURRENT /ObjStm body
+    (type-1 overrides applied first), not the scan's last-in-file stale
+    copy (r5 review: member entries iterating before the container's own
+    type-1 entry expanded a superseded container)."""
+    import struct
+    import zlib
+
+    def objstm(texts: list[str], first_num: int) -> bytes:
+        bodies = [
+            f"<< /Type /Page /Parent 2 0 R >>".encode() if t is None
+            else t.encode()
+            for t in texts
+        ]
+        header = b""
+        off = 0
+        for i, b in enumerate(bodies):
+            header += f"{first_num + i} {off} ".encode()
+            off += len(b)
+        payload = header + b"".join(bodies)
+        z = zlib.compress(payload)
+        return (
+            b"<< /Type /ObjStm /N " + str(len(bodies)).encode() + b" /First "
+            + str(len(header)).encode() + b" /Filter /FlateDecode /Length "
+            + str(len(z)).encode() + b" >>\nstream\n" + z + b"\nendstream\n"
+        )
+
+    # members 3 (page) and 4's content is a plain object referencing work
+    current = objstm(
+        ["<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"], first_num=3
+    )
+    stale = objstm(
+        ["<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"], first_num=3
+    )
+    z_cur = zlib.compress(b"BT (current content) Tj ET")
+    z_stale = zlib.compress(b"BT (stale content) Tj ET")
+
+    buf = bytearray(b"%PDF-1.5\n")
+    off = {}
+    def emit(num, body):
+        off[num] = len(buf)
+        buf.extend(str(num).encode() + b" 0 obj\n" + body + b"endobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>\n")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n")
+    emit(7, current)
+    emit(5, b"<< /Filter /FlateDecode /Length " + str(len(z_cur)).encode()
+         + b" >>\nstream\n" + z_cur + b"\nendstream\n")
+    emit(6, b"<< /Filter /FlateDecode /Length " + str(len(z_stale)).encode()
+         + b" >>\nstream\n" + z_stale + b"\nendstream\n")
+    # stale container copy LATER in byte order — the scan keeps this one
+    buf.extend(b"7 0 obj\n" + stale + b"endobj\n")
+
+    xref_off = len(buf)
+    rows = []
+    for num in (1, 2, 5, 6, 7):
+        rows.append((num, struct.pack(">B", 1) + struct.pack(">H", off[num]) + b"\x00"))
+    rows.append((3, struct.pack(">B", 2) + struct.pack(">H", 7) + b"\x00"))  # in ObjStm 7, idx 0
+    rows.sort()
+    data = b"".join(r for _, r in rows)
+    # /Index: objects 1,2,3 then 5,6,7 — two subsections
+    sub = {n: r for n, r in rows}
+    data = sub[1] + sub[2] + sub[3] + sub[5] + sub[6] + sub[7]
+    z = zlib.compress(data)
+    buf.extend(
+        b"8 0 obj\n<< /Type /XRef /W [1 2 1] /Index [1 3 5 3] /Size 9 /Root 1 0 R "
+        b"/Filter /FlateDecode /Length " + str(len(z)).encode()
+        + b" >>\nstream\n" + z + b"\nendstream\nendobj\n"
+    )
+    buf.extend(b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n")
+
+    got = extract_pdf_text(bytes(buf))
+    assert got == ["current content"], got
