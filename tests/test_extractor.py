@@ -867,3 +867,61 @@ def test_pdf_type2_entries_use_current_objstm_not_stale_scan_body():
 
     got = extract_pdf_text(bytes(buf))
     assert got == ["current content"], got
+
+
+def test_pdf_hybrid_xrefstm_takes_precedence_over_classic_section():
+    """Hybrid-reference file (§7.5.8.4): the classic trailer carries
+    /XRefStm pointing at an xref STREAM from the same update; the stream's
+    entries must take precedence over the classic table's — here the
+    classic table points object 4 at a stale body and the stream at the
+    current one."""
+    import struct
+    import zlib
+
+    def frame(num: int, body: bytes) -> bytes:
+        return str(num).encode() + b" 0 obj\n" + body + b"endobj\n"
+
+    def content(text: str) -> bytes:
+        z = zlib.compress(f"BT ({text}) Tj ET".encode())
+        return (
+            b"<< /Filter /FlateDecode /Length " + str(len(z)).encode()
+            + b" >>\nstream\n" + z + b"\nendstream\n"
+        )
+
+    buf = bytearray(b"%PDF-1.5\n")
+    off = {}
+    for num, body in [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>\n"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"),
+        (4, content("current hybrid body")),
+    ]:
+        off[num] = len(buf)
+        buf += frame(num, body)
+    stale4 = len(buf)
+    buf += frame(4, content("stale classic body"))
+
+    # xref STREAM (the /XRefStm target): current offsets for 1-4
+    stm_off = len(buf)
+    rows = b"".join(
+        struct.pack(">B", 1) + struct.pack(">H", off[n]) + b"\x00" for n in (1, 2, 3, 4)
+    )
+    z = zlib.compress(rows)
+    buf += (
+        b"5 0 obj\n<< /Type /XRef /W [1 2 1] /Index [1 4] /Size 6 /Root 1 0 R "
+        b"/Filter /FlateDecode /Length " + str(len(z)).encode()
+        + b" >>\nstream\n" + z + b"\nendstream\nendobj\n"
+    )
+
+    # classic section: object 4 at the STALE offset; trailer carries /XRefStm
+    xref_off = len(buf)
+    buf += b"xref\n1 4\n"
+    for n, o in [(1, off[1]), (2, off[2]), (3, off[3]), (4, stale4)]:
+        buf += f"{o:010d} 00000 n \n".encode()
+    buf += (
+        b"trailer\n<< /Size 6 /Root 1 0 R /XRefStm " + str(stm_off).encode()
+        + b" >>\nstartxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+    )
+
+    got = extract_pdf_text(bytes(buf))
+    assert got == ["current hybrid body"], got
