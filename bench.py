@@ -416,7 +416,10 @@ def main() -> None:
             X.bm25_index(docs, bm25_dir)
             ivf_dir = f"{tmp}/ivf_steady"
             ivf_centroids = SIM.ivf_index(emb, ivf_dir, n_centroids=16, n_iters=3)
+            lm_dir = f"{tmp}/lm_steady"
+            X.ngram_lm_train(docs, lm_dir, min_count=2)
             extra = {
+                "lm_perplexity": lambda: X.lm_perplexity(docs, lm_dir),
                 "bm25_query_only": lambda: X.bm25_topk(
                     None, ["merge", "sort", "window"], k=15, index_dir=bm25_dir,
                     spark=spark,

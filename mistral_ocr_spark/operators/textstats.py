@@ -465,3 +465,166 @@ def _buckets_of(spark, terms: list[str], n_buckets: int) -> list[int]:
 
 
 _BUCKET_CACHE: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model perplexity (r5) — the CCNet/KenLM-style quality
+# signal: score crawl documents by how "language-like" they are under a
+# count-based bigram LM trained on a reference corpus (Wenzek et al.,
+# "CCNet", LREC 2020 filter by LM perplexity; backoff per Brants et al.,
+# "Large Language Models in Machine Translation", EMNLP 2007 — the
+# "stupid backoff" scheme, designed precisely for distributed count-based
+# LMs at web scale). Pure built-in expressions + joins, so the identical
+# formula runs in the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def _lm_word_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _ws): the bm25 normalization (lower → trim → split \\s+),
+    with the array MATERIALIZED as a column (the no-CSE rule)."""
+    return df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_ws"),
+    )
+
+
+def ngram_lm_train(
+    corpus: DataFrame,
+    lm_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> str:
+    """Train and persist the count-based bigram LM — ONE corpus pass per
+    table, all hash aggregations (map-side partial agg for free):
+
+    - ``unigrams/`` — (w, c) token counts;
+    - ``bigrams/`` — (h, w, c) adjacent-pair counts, pruned to
+      ``c >= min_count`` (at web scale the bigram tail is the table —
+      CCNet prunes it the same way);
+    - ``stats/`` — (n_tokens, vocab_size) for the Laplace unigram floor.
+
+    The LM is typically orders of magnitude smaller than the corpus it
+    scores (vocab-bounded), so the scoring joins below broadcast or
+    shuffle as AQE decides — no forced broadcast (the standing policy).
+    """
+    spark = corpus.sparkSession
+    # explode_outer everywhere a named computed array is exploded: the
+    # InferFiltersFromGenerate rule would otherwise re-evaluate the split
+    # kernel inside an inferred size()>0 filter (the r4 lesson); the
+    # arrays are never empty (split of "" is [""])
+    words = _lm_word_arrays(corpus, text_col, id_col).select(
+        F.explode_outer("_ws").alias("w")
+    )
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    uni.write.mode("overwrite").parquet(f"{lm_dir}/unigrams")
+    uni = spark.read.parquet(f"{lm_dir}/unigrams")
+    arrs = _lm_word_arrays(corpus, text_col, id_col)
+    pairs = arrs.select(
+        F.explode_outer(  # explode_outer: the InferFiltersFromGenerate rule
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("_ws") - 1, F.lit(0))),
+                lambda i: F.struct(
+                    F.element_at("_ws", i).alias("h"),
+                    F.element_at("_ws", i + 1).alias("w"),
+                ),
+            )
+        ).alias("p")
+    ).filter(F.col("p").isNotNull())
+    (
+        pairs.select("p.h", "p.w")
+        .groupBy("h", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .write.mode("overwrite")
+        .parquet(f"{lm_dir}/bigrams")
+    )
+    uni.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    ).write.mode("overwrite").parquet(f"{lm_dir}/stats")
+    return lm_dir
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    lm_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document stupid-backoff bigram perplexity against a persisted
+    ``ngram_lm_train`` model: ``(id_col, n_tokens, avg_logprob, ppl)``,
+    floats rounded to 6 dp. Low ppl ≈ fluent reference-like text; high ≈
+    gibberish/boilerplate — threshold or bucket it exactly as CCNet does
+    (head/middle/tail by perplexity).
+
+    Scoring model (deterministic, oracle-expressible):
+
+    - token 1 scores under the Laplace unigram ``(c(w)+1)/(N+V)`` (total
+      — every token, known or OOV, gets positive mass);
+    - token i>1 scores ``c(h,w)/c(h)`` when the bigram survived pruning
+      AND the history is known, else ``alpha · P_uni(w)`` (Brants'
+      fixed-backoff — an unnormalized score, not a distribution, which is
+      the documented trade for needing no discount fitting at scale);
+    - ``ppl = exp(-avg ln p)``.
+
+    Plan shape at 10^12 docs: one explode of the token stream, three
+    equi-joins against vocab-bounded LM tables (AQE picks broadcast when
+    they fit), one groupBy(id) — no window, no collect, no Python.
+    """
+    spark = docs.sparkSession
+    uni = spark.read.parquet(f"{lm_dir}/unigrams")
+    big = spark.read.parquet(f"{lm_dir}/bigrams")
+    stats = spark.read.parquet(f"{lm_dir}/stats")
+    toks = (
+        _lm_word_arrays(docs, text_col, id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode_outer("_ws").alias("pos", "w"),
+            F.col("_ws"),
+        )
+        .select(
+            id_col,
+            "pos",
+            "w",
+            # posexplode is 0-based, element_at 1-based: element_at(pos)
+            # is exactly the PREVIOUS token; NULL for the first token
+            F.when(F.col("pos") > 0, F.element_at("_ws", F.col("pos"))).alias("h"),
+        )
+    )
+    scored = (
+        toks.join(
+            big.select(F.col("h").alias("_bh"), F.col("w").alias("_bw"), F.col("c").alias("_cb")),
+            (F.col("h") == F.col("_bh")) & (F.col("w") == F.col("_bw")),
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("_uh"), F.col("c").alias("_ch")),
+            F.col("h") == F.col("_uh"),
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("_uw"), F.col("c").alias("_cw")),
+            F.col("w") == F.col("_uw"),
+            "left",
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    p_uni = (F.coalesce(F.col("_cw"), F.lit(0)) + 1) / (
+        F.col("n_tokens") + F.col("vocab_size")
+    )
+    p = (
+        F.when(F.col("h").isNull(), p_uni)  # first token: plain unigram
+        .when(
+            F.col("_cb").isNotNull() & F.col("_ch").isNotNull(),
+            F.col("_cb") / F.col("_ch"),
+        )
+        .otherwise(F.lit(alpha) * p_uni)
+    )
+    per_tok = scored.select(F.col(id_col), F.log(p).alias("_lp"))
+    return per_tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("_lp")), 6).alias("ppl"),
+    )

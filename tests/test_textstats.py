@@ -367,3 +367,94 @@ def test_bm25_cold_query_resolves_buckets_in_one_job(spark, tmp_path, monkeypatc
         .collect()
     ]
     assert got == [int(r.b) for r in want[0]]
+
+
+def test_lm_perplexity_hand_computed(spark, tmp_path):
+    """Bigram stupid-backoff on a corpus small enough to check by hand:
+    train on {'a b', 'a b', 'a c'}; N=6, V=3; c(a)=3 c(b)=2 c(c)=1;
+    c(a,b)=2 c(a,c)=1. Score 'a b': p1 = (3+1)/9, p2 = 2/3.
+    Score 'a z' (OOV): p1 = 4/9, p2 = 0.4 * (0+1)/9."""
+    import math
+
+    corpus = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    lm = X.ngram_lm_train(corpus, str(tmp_path / "lm"))
+    docs = spark.createDataFrame([(10, "a b"), (11, "a z")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in X.lm_perplexity(docs, lm).collect()}
+
+    lp_ab = (math.log(4 / 9) + math.log(2 / 3)) / 2
+    lp_az = (math.log(4 / 9) + math.log(0.4 * (1 / 9))) / 2
+    assert got[10].n_tokens == 2 and got[11].n_tokens == 2
+    assert abs(got[10].avg_logprob - round(lp_ab, 6)) < 1e-6
+    assert abs(got[10].ppl - round(math.exp(-lp_ab), 6)) < 1e-6
+    assert abs(got[11].avg_logprob - round(lp_az, 6)) < 1e-6
+    # fluent text scores lower perplexity than OOV-laden text
+    assert got[10].ppl < got[11].ppl
+
+
+def test_lm_perplexity_matches_duckdb_formula(spark, tmp_path):
+    """Full-formula oracle on the sf0.001 corpus: train on even doc_ids,
+    score odd doc_ids, and compare every (n_tokens, avg_logprob, ppl)
+    against an independent DuckDB implementation of the identical
+    stupid-backoff arithmetic."""
+    import duckdb as _duck
+
+    from pyspark.sql import functions as F
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    all_docs = spark.read.parquet(path).select("doc_id", "text")
+    train = all_docs.filter(F.col("doc_id") % 2 == 0)
+    score = all_docs.filter(F.col("doc_id") % 2 == 1)
+    lm = X.ngram_lm_train(train, str(tmp_path / "lm001"), min_count=2)
+    got = sorted(
+        (r.doc_id, r.n_tokens, f"{r.avg_logprob:.6f}", f"{r.ppl:.6f}")
+        for r in X.lm_perplexity(score, lm).collect()
+    )
+
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = con.execute("""
+WITH tw AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE doc_id % 2 = 0),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tw GROUP BY 1),
+stats AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM uni),
+tp AS (SELECT ws[i] AS h, ws[i+1] AS w FROM
+        (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+         FROM documents WHERE doc_id % 2 = 0),
+        LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+big AS (SELECT h, w, CAST(count(*) AS BIGINT) AS c FROM tp GROUP BY 1, 2 HAVING count(*) >= 2),
+toks AS (SELECT doc_id, i AS pos, ws[i] AS w,
+               CASE WHEN i > 1 THEN ws[i-1] END AS h
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+              FROM documents WHERE doc_id % 2 = 1),
+             LATERAL (SELECT unnest(range(1, len(ws)+1)) AS i)),
+sc AS (SELECT t.doc_id,
+        CASE WHEN t.h IS NULL THEN (coalesce(uw.c, 0) + 1.0) / (s.n + s.v)
+             WHEN b.c IS NOT NULL AND uh.c IS NOT NULL THEN CAST(b.c AS DOUBLE) / uh.c
+             ELSE 0.4 * (coalesce(uw.c, 0) + 1.0) / (s.n + s.v) END AS p
+      FROM toks t
+      LEFT JOIN big b ON t.h = b.h AND t.w = b.w
+      LEFT JOIN uni uh ON t.h = uh.w
+      LEFT JOIN uni uw ON t.w = uw.w
+      CROSS JOIN stats s)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(p)), 6) AS avg_logprob,
+       round(exp(-avg(ln(p))), 6) AS ppl
+FROM sc GROUP BY doc_id ORDER BY doc_id
+""").fetchall()
+    con.close()
+    want = sorted((d, n, f"{a:.6f}", f"{p:.6f}") for d, n, a, p in want)
+    assert got == want, f"first diff: {next((a, b) for a, b in zip(got, want) if a != b)}"
+
+
+def test_lm_perplexity_deterministic_across_parallelism(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    lm = X.ngram_lm_train(docs.repartition(1), str(tmp_path / "lm_det"))
+    a = sorted(tuple(r) for r in X.lm_perplexity(docs.repartition(1), lm).collect())
+    b = sorted(tuple(r) for r in X.lm_perplexity(docs.repartition(16), lm).collect())
+    assert a == b and len(a) == 500
