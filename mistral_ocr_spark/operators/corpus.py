@@ -81,6 +81,8 @@ def build_training_corpus(
     require_rep: bool = True,
     line_min_df: int | None = 2,
     decontaminate_n: int = 13,
+    lm_dir: str | None = None,
+    max_ppl: float | None = None,
     train_frac: float = 0.9,
     split_salt: str = "corpus-v1",
     stats: dict | None = None,
@@ -109,10 +111,16 @@ def build_training_corpus(
        exchange (no separate branch, no extra join); keep rows with
        ``quality ≥ min_quality`` and the requested Gopher / repetition
        flags.
-    5. DECONTAMINATE — drop any document sharing a ``decontaminate_n``-gram
+    5. LM FILTER — CCNet's perplexity cut (when ``lm_dir`` AND ``max_ppl``
+       are given): score the survivors against the persisted
+       ``ngram_lm_train`` model and keep ``ppl ≤ max_ppl`` (low
+       perplexity = reference-like text; gibberish and boilerplate score
+       high). Runs after the cheap quality heuristics so the LM joins see
+       the smallest candidate set.
+    6. DECONTAMINATE — drop any document sharing a ``decontaminate_n``-gram
        with the ``benchmark`` DataFrame (id_col ``bench_id``, text column
        ``text``); skipped when no benchmark is given.
-    6. SPLIT — ``sampling.hash_split_column``: shuffle-free,
+    7. SPLIT — ``sampling.hash_split_column``: shuffle-free,
        cluster-size-stable train/holdout labeling (the same bucket ranges
        as ``hash_split``, via the shared public API).
 
@@ -184,12 +192,26 @@ def build_training_corpus(
     deduped = scored.filter(keep).select(
         "doc_id", "url", "text", "quality", "n_words"
     )
-    if benchmark is not None or stats is not None:
-        # checkpoint 3: the survivor set is both the decontamination input
-        # and the anti-join left side (and, when only stats are requested,
-        # the materialization carries the count AND spares the caller's
-        # action the quality recompute)
+    lm_active = lm_dir is not None and max_ppl is not None
+    if benchmark is not None or stats is not None or lm_active:
+        # checkpoint 3: the survivor set is both the decontamination /
+        # LM-scoring input and the join-back left side (a lazy deduped
+        # here would re-run the whole quality lineage once per self-join
+        # branch); when only stats are requested the materialization also
+        # carries the count and spares the caller the quality recompute
         deduped = _materialize(deduped, scratch, "corpus_quality", stats, "after_quality")
+
+    if lm_active:
+        ppl = X.lm_perplexity(deduped.select("doc_id", "text"), lm_dir)
+        keep_ids = ppl.filter(F.col("ppl") <= max_ppl).select("doc_id")
+        deduped = deduped.join(keep_ids, "doc_id")
+        # NULL-text docs get no score row and thus drop here too — they
+        # cannot exist at this stage (extraction errors dropped at stage
+        # 1), so the inner join loses nothing else
+        if stats is not None:
+            deduped = _materialize(
+                deduped, scratch, "corpus_lm", stats, "after_lm_filter"
+            )
 
     if benchmark is not None:
         dirty = (

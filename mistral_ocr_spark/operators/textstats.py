@@ -481,8 +481,13 @@ _BUCKET_CACHE: dict = {}
 
 def _lm_word_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, _ws): the bm25 normalization (lower → trim → split \\s+),
-    with the array MATERIALIZED as a column (the no-CSE rule)."""
-    return df.select(
+    with the array MATERIALIZED as a column (the no-CSE rule). NULL-text
+    rows are DROPPED here — in both training and scoring (r5 review:
+    split(NULL) is NULL, not [''], so a NULL doc would otherwise inject a
+    NULL unigram into the model, inflate the Laplace N+V denominator, and
+    fabricate a plausible-looking score row at query time; the DuckDB
+    oracle's unnest drops NULL text, and that is the contract)."""
+    return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_ws"),
     )
@@ -520,16 +525,23 @@ def ngram_lm_train(
     uni.write.mode("overwrite").parquet(f"{lm_dir}/unigrams")
     uni = spark.read.parquet(f"{lm_dir}/unigrams")
     arrs = _lm_word_arrays(corpus, text_col, id_col)
+    # single-token docs contribute no pairs: sequence(1, 0) in Spark is
+    # the DESCENDING array [1, 0] (not empty!), whose element_at(_ws, 2)/
+    # element_at(_ws, 0) calls throw under ANSI — the CASE guards it to an
+    # empty array, which explode_outer turns into one NULL row filtered
+    # below (r5 review, repro'd on a one-word doc)
+    pair_arr = F.when(
+        F.size("_ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ws") - 1),
+            lambda i: F.struct(
+                F.element_at("_ws", i).alias("h"),
+                F.element_at("_ws", i + 1).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<h:string,w:string>>"))
     pairs = arrs.select(
-        F.explode_outer(  # explode_outer: the InferFiltersFromGenerate rule
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("_ws") - 1, F.lit(0))),
-                lambda i: F.struct(
-                    F.element_at("_ws", i).alias("h"),
-                    F.element_at("_ws", i + 1).alias("w"),
-                ),
-            )
-        ).alias("p")
+        F.explode_outer(pair_arr).alias("p")  # outer: InferFilters rule
     ).filter(F.col("p").isNotNull())
     (
         pairs.select("p.h", "p.w")
@@ -568,6 +580,13 @@ def lm_perplexity(
       fixed-backoff — an unnormalized score, not a distribution, which is
       the documented trade for needing no discount fitting at scale);
     - ``ppl = exp(-avg ln p)``.
+
+    NULL-text documents return NO row (dropped, same as training — see
+    ``_lm_word_arrays``): an empty crawl row must be flagged upstream,
+    not handed a plausible perplexity from the OOV floor (r5 review).
+    Empty/whitespace-only text normalizes to the single '' token (the
+    bm25 split convention, identical in the oracle) and scores under the
+    unigram floor.
 
     Plan shape at 10^12 docs: one explode of the token stream, three
     equi-joins against vocab-bounded LM tables (AQE picks broadcast when

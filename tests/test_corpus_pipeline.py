@@ -158,3 +158,47 @@ def test_stats_cost_zero_extra_actions(spark, monkeypatch):
         "after_decontamination": 5,
     }
     assert len(out) == 5
+
+
+def test_lm_perplexity_stage_filters_gibberish(spark, tmp_path):
+    """Stage 5 (CCNet perplexity cut): a gibberish page that sails through
+    the heuristic filters (distinct words, no repetition) must drop at the
+    LM stage, while every fluent page survives. The threshold is placed
+    between the measured fluent and gibberish scores, so the test pins the
+    ORDERING the filter exists for, not a magic number."""
+    from mistral_ocr_spark.operators import textstats as X
+
+    gib = "zxq wvv qpl mnb vcx lkj hgf dsa poi uyt rew qas"
+    pages = _corpus(spark).unionByName(
+        spark.createDataFrame([_page(8, "Doc 8", [gib, _BOILER])], _corpus(spark).schema)
+    )
+    # reference LM: the fluent article bodies with their headings, in the
+    # same "Doc k <body>" shape the extractor emits
+    lm_train = spark.createDataFrame(
+        [(i, f"Doc {i} {u}") for i, u in _UNIQUE.items()] + [(8, "Doc 8")],
+        ["doc_id", "text"],
+    )
+    lm = X.ngram_lm_train(lm_train, str(tmp_path / "corpus_lm"))
+
+    # measure, then split the threshold between fluent-max and gibberish
+    no_lm = build_training_corpus(pages, line_min_df=2, require_rep=True)
+    scored = {
+        r.doc_id: r.ppl
+        for r in X.lm_perplexity(
+            no_lm.select("doc_id", "text"), lm
+        ).collect()
+    }
+    by_url = {r.url: r.doc_id for r in no_lm.collect()}
+    gib_id = by_url["https://host-8.example.com/doc-8.html"]
+    fluent_max = max(p for d, p in scored.items() if d != gib_id)
+    assert scored[gib_id] > fluent_max, (scored, gib_id)
+    cut = (fluent_max + scored[gib_id]) / 2
+
+    stats: dict = {}
+    out = build_training_corpus(
+        pages, line_min_df=2, require_rep=True, lm_dir=lm, max_ppl=cut, stats=stats
+    ).collect()
+    urls = {r.url for r in out}
+    assert "https://host-8.example.com/doc-8.html" not in urls
+    assert stats["after_lm_filter"] == stats["after_quality"] - 1
+    assert len(out) == stats["after_lm_filter"] == 6

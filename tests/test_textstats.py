@@ -458,3 +458,34 @@ def test_lm_perplexity_deterministic_across_parallelism(spark, tmp_path):
     a = sorted(tuple(r) for r in X.lm_perplexity(docs.repartition(1), lm).collect())
     b = sorted(tuple(r) for r in X.lm_perplexity(docs.repartition(16), lm).collect())
     assert a == b and len(a) == 500
+
+
+def test_lm_perplexity_edge_docs_short_empty_null(spark, tmp_path):
+    """The input classes the r5 review caught: single-word docs must not
+    crash training (sequence(1,0) is DESCENDING in Spark, not empty);
+    NULL-text docs must pollute neither the model (no NULL unigram, no
+    inflated N+V) nor the scores (no fabricated row); empty text is the
+    '' token by the split convention."""
+    corpus = spark.createDataFrame(
+        [(1, "a b"), (2, "solo"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    lm = X.ngram_lm_train(corpus, str(tmp_path / "lm_edge"))
+    uni = {r.w: r.c for r in spark.read.parquet(f"{lm}/unigrams").collect()}
+    assert uni == {"a": 1, "b": 1, "solo": 1, "": 1}  # no None key
+    st = spark.read.parquet(f"{lm}/stats").collect()[0]
+    assert (st.n_tokens, st.vocab_size) == (4, 4)
+
+    docs = spark.createDataFrame(
+        [(10, "b a"), (11, "solo"), (12, ""), (13, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in X.lm_perplexity(docs, lm).collect()}
+    assert 13 not in got, "NULL-text doc must not receive a score row"
+    # 'solo' and '' are single known tokens: p = (1+1)/(4+4) -> ppl 4.0
+    assert got[11].ppl == 4.0 and got[12].ppl == 4.0
+    # 'b a': unigram floor then backoff (bigram (b,a) unseen, history known)
+    import math
+
+    lp = (math.log(2 / 8) + math.log(0.4 * (2 / 8))) / 2
+    assert abs(got[10].avg_logprob - round(lp, 6)) < 1e-6
