@@ -418,8 +418,14 @@ def main() -> None:
             ivf_centroids = SIM.ivf_index(emb, ivf_dir, n_centroids=16, n_iters=3)
             lm_dir = f"{tmp}/lm_steady"
             X.ngram_lm_train(docs, lm_dir, min_count=2)
+            from mistral_ocr_spark.operators import prep as PREP
+
             extra = {
                 "lm_perplexity": lambda: X.lm_perplexity(docs, lm_dir),
+                "chunk_documents": lambda: PREP.chunk_documents(
+                    docs, max_tokens=256, overlap=32
+                ),
+                "redact_pii": lambda: PREP.redact_pii(docs),
                 "bm25_query_only": lambda: X.bm25_topk(
                     None, ["merge", "sort", "window"], k=15, index_dir=bm25_dir,
                     spark=spark,

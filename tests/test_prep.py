@@ -1,0 +1,151 @@
+"""Training-prep operator tests (operators/prep.py): chunking vs
+hand-computed windows and a full DuckDB oracle; PII redaction vs planted
+spans and the identical-pattern DuckDB oracle."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from mistral_ocr_spark.operators import prep as P
+
+
+def test_chunk_documents_hand_computed(spark):
+    """max=5, overlap=2 (step=3) on 8/6/5/1/0-word docs — every boundary
+    case: coverage, overlap carry, exact-max single chunk, short final
+    chunk, and the ['']-token empty-text convention."""
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (2, "a b c d e f"),
+            (3, "p q r s t"),
+            (4, "solo"),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.text, r.n_tokens)
+        for r in P.chunk_documents(docs, max_tokens=5, overlap=2).collect()
+    }
+    assert got == {
+        (1, 0): ("w1 w2 w3 w4 w5", 5),
+        (1, 1): ("w4 w5 w6 w7 w8", 5),
+        (2, 0): ("a b c d e", 5),
+        (2, 1): ("d e f", 3),
+        (3, 0): ("p q r s t", 5),
+        (4, 0): ("solo", 1),
+        (5, 0): ("", 1),  # split('') is [''] — the corpus-wide convention
+    }
+    # every token of doc 1 appears in at least one chunk; consecutive
+    # chunks share exactly `overlap` tokens
+    assert got[(1, 0)][0].split()[-2:] == got[(1, 1)][0].split()[:2]
+
+
+def test_chunk_documents_matches_duckdb_oracle(spark):
+    """Identical windowing arithmetic in DuckDB over the fixture corpus
+    (max=32, overlap=8): every (doc, chunk) row must agree."""
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path).select("doc_id", "text")
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.text, r.n_tokens)
+        for r in P.chunk_documents(docs, max_tokens=32, overlap=8).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    want = con.execute("""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws,
+                  len(regexp_split_to_array(trim(text), '\\s+')) AS n
+           FROM documents WHERE text IS NOT NULL),
+c AS (SELECT doc_id, ws, n,
+             greatest(CAST(ceil((n - 8) / 24.0) AS INT), 1) AS n_chunks FROM w)
+SELECT doc_id, i AS chunk_id,
+       array_to_string(list_slice(ws, i*24 + 1, i*24 + 32), ' ') AS text,
+       CAST(least(n - i*24, 32) AS BIGINT) AS n_tokens
+FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)
+ORDER BY doc_id, chunk_id
+""").fetchall()
+    con.close()
+    assert got == [tuple(r) for r in want]
+    assert len(got) > 500  # multi-chunk docs exist in the fixture
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        P.chunk_documents(docs, max_tokens=8, overlap=8)
+
+
+def test_redact_pii_planted_spans(spark):
+    """Planted emails/IPs/phones are masked and counted; ordinary digit
+    runs, years, and version strings are untouched (precision contract)."""
+    rows = [
+        (1, "contact bob.smith+spam@example.co.uk or call (555) 123-4567 now"),
+        (2, "server at 10.0.255.7 and backup 192.168.1.1 online"),
+        (3, "released in 2024, version 3.14.15 had 10000 downloads"),
+        (4, "mail a@b.io b@c.net and +1 555-123-4567"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in P.redact_pii(docs).collect()}
+    assert got[1].text == "contact <EMAIL> or call <PHONE> now"
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (1, 0, 1)
+    assert got[2].text == "server at <IP> and backup <IP> online"
+    assert got[2].n_ipv4 == 2
+    # version strings: 3.14.15 only has three octet groups -> not an IPv4;
+    # years/counts are bare digit runs -> not phones
+    assert got[3].text == rows[2][1]
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 0)
+    assert got[4].text == "mail <EMAIL> <EMAIL> and <PHONE>"
+    assert (got[4].n_email, got[4].n_phone) == (2, 1)
+    assert got[5].text is None and got[5].n_email is None
+
+
+def test_redact_pii_matches_duckdb_oracle(spark):
+    """The IDENTICAL patterns (shared data, not parallel code) run in
+    DuckDB with the 'g' flag; masked text and counts must agree on a
+    corpus of planted + fixture rows."""
+    path = "/root/testdata/sf0.001/documents.parquet"
+    base = (
+        spark.read.parquet(path)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+    )
+    planted = spark.createDataFrame(
+        [
+            (100001, "ping admin@site.org from 8.8.8.8 re +44 123-456-7890"),
+            (100002, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(planted)
+    got = sorted(
+        (r.doc_id, r.text, r.n_email, r.n_ipv4, r.n_phone)
+        for r in P.redact_pii(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW base AS SELECT * FROM read_parquet('{path}')")
+    con.execute(
+        "CREATE VIEW documents AS SELECT doc_id, text FROM "
+        "(SELECT * FROM base WHERE doc_id < 100) UNION ALL "
+        "SELECT * FROM (VALUES (100001, 'ping admin@site.org from 8.8.8.8 re +44 123-456-7890'), "
+        "(100002, 'no pii here at all')) v(doc_id, text)"
+    )
+    e, i, p = (P.PII_PATTERNS[k][0] for k in ("email", "ipv4", "phone"))
+    want = con.execute(
+        """
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text, ?, '<EMAIL>', 'g'),
+                 ?, '<IP>', 'g'), ?, '<PHONE>', 'g') AS text,
+  CAST(len(regexp_extract_all(text, ?)) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, ?)) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, ?)) AS BIGINT) AS n_phone
+FROM documents ORDER BY doc_id
+""",
+        [e, i, p, e, i, p],
+    ).fetchall()
+    con.close()
+    assert got == [tuple(r) for r in want]
