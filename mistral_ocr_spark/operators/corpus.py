@@ -192,7 +192,15 @@ def build_training_corpus(
     deduped = scored.filter(keep).select(
         "doc_id", "url", "text", "quality", "n_words"
     )
-    lm_active = lm_dir is not None and max_ppl is not None
+    if (lm_dir is None) != (max_ppl is None):
+        # half-specified LM config must fail loudly: silently skipping the
+        # stage ships an unfiltered corpus and surfaces only after model
+        # training (r5 review)
+        raise ValueError(
+            "lm_dir and max_ppl must be given together "
+            f"(got lm_dir={lm_dir!r}, max_ppl={max_ppl!r})"
+        )
+    lm_active = lm_dir is not None
     if benchmark is not None or stats is not None or lm_active:
         # checkpoint 3: the survivor set is both the decontamination /
         # LM-scoring input and the join-back left side (a lazy deduped
@@ -208,7 +216,11 @@ def build_training_corpus(
         # NULL-text docs get no score row and thus drop here too — they
         # cannot exist at this stage (extraction errors dropped at stage
         # 1), so the inner join loses nothing else
-        if stats is not None:
+        if stats is not None or benchmark is not None:
+            # materialize whenever decontamination follows (r5 review: a
+            # lazy LM-join would feed BOTH decontamination self-join
+            # branches and re-score the whole corpus once per branch) or
+            # the stats contract needs the count
             deduped = _materialize(
                 deduped, scratch, "corpus_lm", stats, "after_lm_filter"
             )

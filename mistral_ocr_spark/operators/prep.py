@@ -34,18 +34,26 @@ def chunk_documents(
     Chunking rule (deterministic, oracle-expressible): tokens are the
     ``\\s+`` split of the trimmed text; chunk ``i`` covers tokens
     ``[i·step, i·step + max_tokens)`` with ``step = max_tokens − overlap``;
-    chunks are emitted while ``i·step < n_tokens``, so the final chunk may
-    be short but never empty, a document with ``n ≤ max_tokens`` yields
-    exactly one chunk, and every token belongs to at least one chunk.
-    NULL-text documents are dropped (the LM-operator contract).
+    exactly ``ceil(max(n − overlap, 1) / step)`` chunks are emitted — a
+    chunk exists iff it contributes tokens beyond the previous chunk's
+    coverage (r5 review: an "emit while i·step < n" rule would add a
+    final fully-overlapped chunk). The final chunk may be short (always
+    > overlap tokens) but never empty, a document with
+    ``n ≤ max_tokens`` yields exactly one chunk, and every token belongs
+    to at least one chunk. NULL-text documents are dropped (the
+    LM-operator contract).
 
     Plan shape at 10^12 docs: one map-side array split + a transform over
     the per-doc chunk index sequence + one explode — no shuffle at all
     (chunking is embarrassingly parallel); the per-row memory bound is
     the document itself.
     """
-    if overlap >= max_tokens:
-        raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        # negative overlap would open silent COVERAGE GAPS between chunks
+        # (r5 review: step > max_tokens leaves tokens in no chunk)
+        raise ValueError(f"overlap must be in [0, max_tokens), got {overlap}")
     step = max_tokens - overlap
     words = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
@@ -79,7 +87,12 @@ def chunk_documents(
 
 
 # PII patterns — intersection of Java-regex and RE2 syntax so the DuckDB
-# oracle runs the IDENTICAL expressions (no lookbehind, no backrefs).
+# oracle runs the IDENTICAL expressions. RE2 has NO lookarounds, so the
+# "not inside a larger number" guards are CONSUMED context groups restored
+# by the replacement's group references (r5 review: a bare trailing \b let
+# the phone pattern eat the tails of numeric ranges — 'pages 100-200
+# 300-4000' lost its page numbers). Replacements use Java's $n syntax;
+# the DuckDB oracle translates $n → \n (same group semantics).
 # Deliberately conservative-match (precision over recall): a redactor that
 # eats ordinary text corrupts the corpus silently, while a rare missed
 # address is caught by downstream audits.
@@ -89,14 +102,15 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
         "<EMAIL>",
     ),
     "ipv4": (
-        r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-        "<IP>",
+        # context guards keep version-like 4+-part dotted runs intact
+        r"(^|[^0-9.])((?:\d{1,3}\.){3}\d{1,3})([^0-9.]|$)",
+        "$1<IP>$3",
     ),
     "phone": (
-        # +country or (area) prefixed, 7+ digits with separators — bare
-        # digit runs are NOT matched (years, ids, quantities)
-        r"(?:\+\d{1,3}[ .-]?)?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b",
-        "<PHONE>",
+        # +country or (area) prefixed, 3-3-4 with separators — bare digit
+        # runs and digits embedded in larger numbers are NOT matched
+        r"(^|[^0-9.\-])((?:\+\d{1,3}[ .-]?)?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4})([^0-9.]|$)",
+        "$1<PHONE>$3",
     ),
 }
 
@@ -109,9 +123,11 @@ def redact_pii(
     """Mask PII spans in ``text_col`` in place and count what was masked:
     input columns pass through, ``text_col`` is rewritten with
     ``<EMAIL>/<IP>/<PHONE>`` placeholders, and one ``n_<kind>`` BIGINT
-    column per active kind reports the number of masked spans (count
-    BEFORE masking, so overlapping patterns applied later never uncount
-    earlier ones — application order is the ``PII_PATTERNS`` dict order).
+    column per active kind reports the number of spans THAT KIND actually
+    masked: each kind is counted on the text as already masked by the
+    kinds before it (``PII_PATTERNS`` dict order), so a span consumed by
+    an earlier kind — '1.2.3.4@mail.com' is one email, zero IPs — is
+    never double-counted (r5 review).
 
     Pure ``regexp_count`` + chained ``regexp_replace`` — map-side only,
     no shuffle; the identical patterns run in the DuckDB oracle (the
@@ -124,11 +140,9 @@ def redact_pii(
     out = docs
     masked = F.col(text_col)
     for k in kinds:
-        pat, _rep = PII_PATTERNS[k]
-        out = out.withColumn(
-            f"n_{k}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
-        )
-    for k in kinds:
         pat, rep = PII_PATTERNS[k]
+        out = out.withColumn(
+            f"n_{k}", F.regexp_count(masked, F.lit(pat)).cast("bigint")
+        )
         masked = F.regexp_replace(masked, pat, rep)
     return out.withColumn(text_col, masked)

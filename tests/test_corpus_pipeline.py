@@ -202,3 +202,14 @@ def test_lm_perplexity_stage_filters_gibberish(spark, tmp_path):
     assert "https://host-8.example.com/doc-8.html" not in urls
     assert stats["after_lm_filter"] == stats["after_quality"] - 1
     assert len(out) == stats["after_lm_filter"] == 6
+
+
+def test_half_specified_lm_config_raises(spark):
+    """lm_dir without max_ppl (or vice versa) must fail loudly, not ship
+    an unfiltered corpus (r5 review)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lm_dir and max_ppl"):
+        build_training_corpus(_corpus(spark), lm_dir="/nonexistent")
+    with _pytest.raises(ValueError, match="lm_dir and max_ppl"):
+        build_training_corpus(_corpus(spark), max_ppl=100.0)

@@ -81,13 +81,17 @@ def test_chunk_documents_rejects_bad_overlap(spark):
 
 def test_redact_pii_planted_spans(spark):
     """Planted emails/IPs/phones are masked and counted; ordinary digit
-    runs, years, and version strings are untouched (precision contract)."""
+    runs, years, version strings, numeric ranges, and dotted IDs are
+    untouched (the precision contract, incl. the r5-review cases where a
+    bare trailing \\b ate the tails of larger numbers)."""
     rows = [
         (1, "contact bob.smith+spam@example.co.uk or call (555) 123-4567 now"),
         (2, "server at 10.0.255.7 and backup 192.168.1.1 online"),
         (3, "released in 2024, version 3.14.15 had 10000 downloads"),
         (4, "mail a@b.io b@c.net and +1 555-123-4567"),
         (5, None),
+        (6, "pages 100-200 300-4000 and id 8675.309.1234 stay"),
+        (7, "1.2.3.4@mail.com wrote"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in P.redact_pii(docs).collect()}
@@ -102,6 +106,12 @@ def test_redact_pii_planted_spans(spark):
     assert got[4].text == "mail <EMAIL> <EMAIL> and <PHONE>"
     assert (got[4].n_email, got[4].n_phone) == (2, 1)
     assert got[5].text is None and got[5].n_email is None
+    # r5 review regressions: digits embedded in ranges/IDs are NOT phones
+    assert got[6].text == rows[5][1]
+    assert (got[6].n_ipv4, got[6].n_phone) == (0, 0)
+    # a span consumed by an earlier kind is not re-counted by a later one
+    assert got[7].text == "<EMAIL> wrote"
+    assert (got[7].n_email, got[7].n_ipv4) == (1, 0)
 
 
 def test_redact_pii_matches_duckdb_oracle(spark):
@@ -134,18 +144,28 @@ def test_redact_pii_matches_duckdb_oracle(spark):
         "SELECT * FROM (VALUES (100001, 'ping admin@site.org from 8.8.8.8 re +44 123-456-7890'), "
         "(100002, 'no pii here at all')) v(doc_id, text)"
     )
-    e, i, p = (P.PII_PATTERNS[k][0] for k in ("email", "ipv4", "phone"))
+    # identical patterns; replacements translate Java's $n to RE2's \n
+    pats = {k: P.PII_PATTERNS[k][0] for k in ("email", "ipv4", "phone")}
+    reps = {k: P.PII_PATTERNS[k][1].replace("$", "\\") for k in pats}
+    # counts ride the progressively-masked text, mirroring redact_pii
     want = con.execute(
         """
-SELECT doc_id,
-  regexp_replace(regexp_replace(regexp_replace(text, ?, '<EMAIL>', 'g'),
-                 ?, '<IP>', 'g'), ?, '<PHONE>', 'g') AS text,
-  CAST(len(regexp_extract_all(text, ?)) AS BIGINT) AS n_email,
-  CAST(len(regexp_extract_all(text, ?)) AS BIGINT) AS n_ipv4,
-  CAST(len(regexp_extract_all(text, ?)) AS BIGINT) AS n_phone
-FROM documents ORDER BY doc_id
+WITH m1 AS (SELECT doc_id, text AS t0,
+                   regexp_replace(text, ?, ?, 'g') AS t1 FROM documents),
+m2 AS (SELECT *, regexp_replace(t1, ?, ?, 'g') AS t2 FROM m1),
+m3 AS (SELECT *, regexp_replace(t2, ?, ?, 'g') AS t3 FROM m2)
+SELECT doc_id, t3 AS text,
+  CAST(len(regexp_extract_all(t0, ?)) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t1, ?)) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t2, ?)) AS BIGINT) AS n_phone
+FROM m3 ORDER BY doc_id
 """,
-        [e, i, p, e, i, p],
+        [
+            pats["email"], reps["email"],
+            pats["ipv4"], reps["ipv4"],
+            pats["phone"], reps["phone"],
+            pats["email"], pats["ipv4"], pats["phone"],
+        ],
     ).fetchall()
     con.close()
     assert got == [tuple(r) for r in want]
