@@ -426,6 +426,11 @@ def main() -> None:
                     docs, max_tokens=256, overlap=32
                 ),
                 "redact_pii": lambda: PREP.redact_pii(docs),
+                # chunk → distributed-prefix-sum packing, end to end
+                "pack_sequences": lambda: PREP.pack_sequences(
+                    PREP.chunk_documents(docs, max_tokens=256, overlap=32),
+                    seq_len=2048,
+                ),
                 "bm25_query_only": lambda: X.bm25_topk(
                     None, ["merge", "sort", "window"], k=15, index_dir=bm25_dir,
                     spark=spark,

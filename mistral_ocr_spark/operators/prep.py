@@ -146,3 +146,84 @@ def redact_pii(
         )
         masked = F.regexp_replace(masked, pat, rep)
     return out.withColumn(text_col, masked)
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_len: int = 2048,
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+    n_tokens_col: str = "n_tokens",
+    partitions: int | None = None,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Concatenate-and-split sequence packing: assign every chunk its
+    position in the GLOBAL token stream ordered by ``order_cols`` —
+    ``(input columns…, global_offset, seq_id, seq_pos, straddles)`` where
+    ``seq_id = global_offset div seq_len``, ``seq_pos = global_offset mod
+    seq_len``, and ``straddles`` marks chunks crossing a sequence
+    boundary. This is the layout a pretraining dataloader consumes: every
+    sequence is exactly ``seq_len`` tokens full (the final one possibly
+    short), with documents flowing across boundaries exactly as
+    concatenate-then-split training corpora do.
+
+    A global running sum is the textbook "needs one partition" trap — a
+    single-partition window serializes 10^12 rows through one task. This
+    runs it as a DISTRIBUTED PREFIX SUM instead:
+
+    1. range-repartition by ``order_cols`` and stamp each row's partition
+       id (materialized to scratch, so the id is DATA — stable across the
+       two passes that read it);
+    2. per-partition inclusive cumsum via a window PARTITIONED by that
+       id (each window group is one partition's rows — no global funnel);
+    3. per-partition TOTALS (a P-row aggregate) collected to the driver,
+       exclusive-prefix-summed, and broadcast-joined back as each
+       partition's base offset.
+
+    The driver holds P integers — never rows. Output offsets are a pure
+    function of the ``order_cols`` order, so results are identical at any
+    parallelism (tested) even though partition boundaries differ.
+    """
+    from mistral_ocr_spark.operators.dedup import scratch_table_dir
+
+    spark = chunks.sparkSession
+    scratch = scratch_dir or scratch_table_dir(spark)
+    p = partitions or spark.sparkContext.defaultParallelism
+    staged = (
+        chunks.repartitionByRange(p, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    path = f"{scratch}/pack_staged.parquet"
+    staged.write.mode("overwrite").parquet(path)
+    staged = spark.read.parquet(path)
+
+    totals = {
+        r._pid: r._t
+        for r in staged.groupBy("_pid")
+        .agg(F.sum(n_tokens_col).alias("_t"))
+        .collect()
+    }
+    base, offsets = 0, []
+    for pid in sorted(totals):
+        offsets.append((pid, base))
+        base += int(totals[pid])
+    off_df = spark.createDataFrame(offsets, "_pid int, _poff long")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        staged.withColumn("_lend", F.sum(n_tokens_col).over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "global_offset", (F.col("_poff") + F.col("_lend") - F.col(n_tokens_col))
+        )
+        .withColumn("seq_id", F.floor(F.col("global_offset") / seq_len))
+        .withColumn("seq_pos", F.col("global_offset") % seq_len)
+        .withColumn(
+            "straddles",
+            (F.col("seq_pos") + F.col(n_tokens_col) > seq_len).cast("boolean"),
+        )
+        .drop("_pid", "_lend", "_poff")
+    )
+    return out

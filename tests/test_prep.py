@@ -169,3 +169,60 @@ FROM m3 ORDER BY doc_id
     ).fetchall()
     con.close()
     assert got == [tuple(r) for r in want]
+
+
+def test_pack_sequences_matches_global_window_oracle(spark):
+    """The distributed prefix sum must equal the single-window global
+    cumsum (DuckDB: SUM OVER ORDER BY) — offsets, seq ids, positions,
+    and straddle flags, row for row."""
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path).select("doc_id", "text")
+    chunks = P.chunk_documents(docs, max_tokens=32, overlap=8)
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.global_offset, r.seq_id, r.seq_pos, r.straddles)
+        for r in P.pack_sequences(chunks, seq_len=100, partitions=8).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    want = con.execute("""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws,
+                  len(regexp_split_to_array(trim(text), '\\s+')) AS n
+           FROM documents WHERE text IS NOT NULL),
+c AS (SELECT doc_id, ws, n,
+             greatest(CAST(ceil((n - 8) / 24.0) AS INT), 1) AS n_chunks FROM w),
+ch AS (SELECT doc_id, i AS chunk_id,
+              CAST(least(n - i*24, 32) AS BIGINT) AS n_tokens
+       FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)),
+o AS (SELECT doc_id, chunk_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS global_offset
+      FROM ch)
+SELECT doc_id, chunk_id, global_offset,
+       CAST(global_offset // 100 AS BIGINT) AS seq_id,
+       CAST(global_offset % 100 AS BIGINT) AS seq_pos,
+       (global_offset % 100) + n_tokens > 100 AS straddles
+FROM o ORDER BY doc_id, chunk_id
+""").fetchall()
+    con.close()
+    assert got == [tuple(r) for r in want]
+    assert len(got) > 500
+
+
+def test_pack_sequences_deterministic_across_parallelism(spark):
+    """Offsets are a pure function of the order columns: identical output
+    at any partition count, even though range-partition boundaries (and
+    thus the per-partition sums being merged) differ."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    chunks = P.chunk_documents(docs, max_tokens=32, overlap=8)
+    a = sorted(
+        tuple(r)
+        for r in P.pack_sequences(chunks, seq_len=64, partitions=2).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in P.pack_sequences(chunks, seq_len=64, partitions=16).collect()
+    )
+    assert a == b and len(a) > 500
