@@ -182,43 +182,73 @@ def pack_sequences(
     The driver holds P integers — never rows. Output offsets are a pure
     function of the ``order_cols`` order, so results are identical at any
     parallelism (tested) even though partition boundaries differ.
+    ``order_cols`` should uniquely key the rows: with duplicate keys the
+    ROWS-framed cumsum still yields DISJOINT offset ranges, but the
+    relative order of tied rows is unspecified. Rows with NULL
+    ``n_tokens`` are rejected (they would silently vanish from the token
+    stream); NULL-text inputs should be dropped upstream (the
+    chunk_documents contract).
     """
+    import uuid as _uuid
+
     from mistral_ocr_spark.operators.dedup import scratch_table_dir
 
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
     spark = chunks.sparkSession
     scratch = scratch_dir or scratch_table_dir(spark)
     p = partitions or spark.sparkContext.defaultParallelism
-    staged = (
-        chunks.repartitionByRange(p, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    path = f"{scratch}/pack_staged.parquet"
+    staged = chunks.repartitionByRange(
+        p, *[F.col(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
+    # uuid-suffixed: the staged table is re-read lazily by the returned
+    # DataFrame, so a second call sharing an explicit scratch_dir must
+    # never overwrite it (r5 review — the base offsets were computed
+    # against THIS file's contents)
+    path = f"{scratch}/pack_staged_{_uuid.uuid4().hex}.parquet"
     staged.write.mode("overwrite").parquet(path)
     staged = spark.read.parquet(path)
 
-    totals = {
-        r._pid: r._t
-        for r in staged.groupBy("_pid")
-        .agg(F.sum(n_tokens_col).alias("_t"))
+    totals_rows = (
+        staged.groupBy("_pid")
+        .agg(
+            F.sum(n_tokens_col).alias("_t"),
+            F.sum(F.col(n_tokens_col).isNull().cast("int")).alias("_nulls"),
+        )
         .collect()
-    }
+    )
+    n_nulls = sum(r._nulls for r in totals_rows)
+    if n_nulls:
+        # a NULL count would either crash the driver merge or silently
+        # drop the row's tokens from the stream (r5 review)
+        raise ValueError(f"{n_nulls} rows have NULL {n_tokens_col!r}")
+    totals = {r._pid: r._t for r in totals_rows}
     base, offsets = 0, []
     for pid in sorted(totals):
         offsets.append((pid, base))
-        base += int(totals[pid])
+        base += int(totals[pid] or 0)
     off_df = spark.createDataFrame(offsets, "_pid int, _poff long")
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    # explicit ROWS frame: the default RANGE frame includes all PEER rows
+    # tied on order_cols, which assigns overlapping offsets and leaves
+    # holes in the stream (r5 review, repro'd on duplicate keys)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     out = (
         staged.withColumn("_lend", F.sum(n_tokens_col).over(w))
         .join(F.broadcast(off_df), "_pid")
         .withColumn(
             "global_offset", (F.col("_poff") + F.col("_lend") - F.col(n_tokens_col))
         )
-        .withColumn("seq_id", F.floor(F.col("global_offset") / seq_len))
+        # integer `div`, not floor(double division): long→double loses
+        # exactness past 2^53 cumulative tokens (r5 review) and the
+        # 10^12-row design point reaches it
+        .withColumn("seq_id", F.expr(f"global_offset div {int(seq_len)}"))
         .withColumn("seq_pos", F.col("global_offset") % seq_len)
         .withColumn(
             "straddles",

@@ -226,3 +226,37 @@ def test_pack_sequences_deterministic_across_parallelism(spark):
         for r in P.pack_sequences(chunks, seq_len=64, partitions=16).collect()
     )
     assert a == b and len(a) > 500
+
+
+def test_pack_sequences_edge_guards(spark):
+    """r5 review regressions: duplicate order keys still get DISJOINT
+    offset ranges (ROWS frame, not the default RANGE frame that assigns
+    peers identical cumsums); NULL n_tokens and non-positive seq_len are
+    rejected; seq_id stays exact past 2^53 cumulative tokens (integer
+    div, not floor of a double division)."""
+    dup = spark.createDataFrame(
+        [(1, 0, 5), (1, 0, 5), (1, 1, 3)],
+        "doc_id long, chunk_id int, n_tokens long",
+    )
+    rows = sorted(
+        (r.global_offset, r.n_tokens)
+        for r in P.pack_sequences(dup, seq_len=100, partitions=2).collect()
+    )
+    assert rows == [(0, 5), (5, 5), (10, 3)]  # disjoint, gap-free
+
+    with pytest.raises(ValueError, match="seq_len"):
+        P.pack_sequences(dup, seq_len=0)
+
+    with_null = spark.createDataFrame(
+        [(1, 0, 5), (2, 0, None)], "doc_id long, chunk_id int, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        P.pack_sequences(with_null, seq_len=100, partitions=2)
+
+    big = spark.createDataFrame(
+        [(1, 0, 2**53 + 3), (2, 0, 4)], "doc_id long, chunk_id int, n_tokens long"
+    )
+    got = {r.doc_id: r for r in P.pack_sequences(big, seq_len=3, partitions=2).collect()}
+    assert got[2].global_offset == 2**53 + 3
+    assert got[2].seq_id == (2**53 + 3) // 3  # exact; floor(double/3) is off by 1
+    assert got[2].seq_pos == (2**53 + 3) % 3
