@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mistral_ocr_spark.operators import dedup as D
+from mistral_ocr_spark.operators import dsir as DS
 from mistral_ocr_spark.operators import graph as G
 from mistral_ocr_spark.operators import joins as J
 from mistral_ocr_spark.operators import multimodal as M
@@ -259,9 +260,13 @@ def lang_rollup(spark, sf_dir):
 
 
 @_q(
-    "latest_event_per_user",  # §2.5 window: latest-per-key
-    "SELECT user_id, event_id, event_type FROM ("
+    # §2.5 window: latest-per-key, carrying F5's JSON field extraction as a
+    # hash-checked column on the winning row (json_extract folded r5 —
+    # COVERAGE.md §cap — freeing the slot for dsir_select).
+    "latest_event_per_user",
+    "SELECT user_id, event_id, event_type, k_val FROM ("
     "  SELECT user_id, event_id, event_type, "
+    "  CAST(props->>'$.k' AS INT) AS k_val, "
     "  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
     "  FROM events) WHERE rn = 1",
 )
@@ -271,7 +276,12 @@ def latest_event_per_user(spark, sf_dir):
     return (
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        )
     )
 
 
@@ -363,17 +373,6 @@ def mime_dispatch(spark, sf_dir):
         .otherwise("application/octet-stream")
     )
     return d.groupBy(mime.alias("mime")).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-
-
-@_q(
-    "json_extract",  # F5: JSON field extraction
-    "SELECT event_id, CAST(props->>'$.k' AS INT) AS k_val FROM events "
-    "WHERE CAST(props->>'$.k' AS INT) >= 90",
-)
-def json_extract(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return e.select("event_id", k.alias("k_val")).filter(F.col("k_val") >= 90)
 
 
 @_q(
@@ -1237,6 +1236,54 @@ def decontaminate(spark, sf_dir):
     return D.decontaminate(d, bench, n=13)
 
 
+# DSIR importance resampling (Xie et al. 2023): target = doc_id % 20 == 3
+# (a 5% "high-quality" slice), raw = the full corpus; hashed unigram+bigram
+# buckets via the portable md5-prefix arithmetic; Laplace α=1, B=1024;
+# deterministic Gumbel top-50. Scores compared ROUNDED (6 dp) on both
+# sides — the sort key itself is rounded so libm noise can't flip the
+# k-th seat between engines (operators/dsir.py docstring).
+_DSIR_ORACLE = r"""
+WITH w AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '') AS ws
+           FROM documents),
+g AS (SELECT doc_id,
+             ws || CASE WHEN len(ws) >= 2
+                   THEN list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM w),
+cg AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(gram || '|dsir-v1'), 1, 8)) AS BIGINT)
+              % 1024 AS bucket
+       FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+rg AS (SELECT bucket, count(*) AS c_raw FROM cg GROUP BY 1),
+tg AS (SELECT bucket, count(*) AS c_tgt FROM cg WHERE doc_id % 20 = 3 GROUP BY 1),
+tot AS (SELECT (SELECT sum(c_raw) FROM rg) AS n_raw,
+               (SELECT sum(c_tgt) FROM tg) AS n_tgt),
+lam AS (SELECT bucket,
+               ln(coalesce(c_tgt, 0) + 1.0) - ln(n_tgt + 1024.0)
+               - ln(c_raw + 1.0) + ln(n_raw + 1024.0) AS lam
+        FROM rg LEFT JOIN tg USING (bucket) CROSS JOIN tot),
+sc AS (SELECT doc_id, sum(lam) AS logw FROM cg JOIN lam USING (bucket) GROUP BY 1),
+fullw AS (SELECT d.doc_id, coalesce(s.logw, 0.0) AS logw
+          FROM documents d LEFT JOIN sc s USING (doc_id)),
+gum AS (SELECT doc_id, logw,
+               -ln(-ln((CAST(('0x' || substr(md5(doc_id || '|dsir-v1'), 1, 8))
+                             AS BIGINT) + 0.5) / 4294967296.0)) AS g
+        FROM fullw)
+SELECT doc_id, round(logw, 6) AS logw, round(logw + g, 6) AS score
+FROM gum ORDER BY score DESC, doc_id LIMIT 50
+"""
+
+
+@_q("dsir_select", _DSIR_ORACLE)
+def dsir_select(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 20 == 3)
+    return DS.dsir_select(d, target, 50, n_buckets=1024)
+
+
 _EMB_AUG_SQL = (
     "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings UNION ALL "
     "SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) "
@@ -1541,6 +1588,7 @@ _ORDER = [
     # quantiles_qty→stats_agg.p50/.p90 — COVERAGE.md §cap), then the r4
     # and r3 cohorts.
     "pipeline_extract",
+    "dsir_select",
     "bm25_search",
     "line_dedup",
     "ann_ivf_topk",
@@ -1574,7 +1622,6 @@ _ORDER = [
     "resume_anti_join",
     "mime_dispatch",
     "lang_rollup",
-    "json_extract",
     "scalar_functions",
     # relational / TPC-H-shaped
     "tpch_q1_pricing",
