@@ -557,3 +557,114 @@ def lsh_topk(
         )
     )
     return cand.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
+# ===========================================================================
+# SemDeDup: semantic deduplication via k-means clustering (Abbas et al.
+# 2023, arXiv:2303.09540)
+# ===========================================================================
+
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+    seed: int = 11,
+) -> DataFrame:
+    """Semantic dedup: k-means-cluster the embeddings, then WITHIN each
+    cluster drop every vector that has a ≥``threshold``-cosine neighbor
+    closer to the centroid than itself (the paper's keep-the-least-central
+    rule: of a duplicate pair, the more "typical" copy is redundant — the
+    outlier carries the information). Returns every input row as
+    (vec_id, centroid_id, cent_sim, keep) so callers can either filter
+    ``keep`` or audit the drop set.
+
+    Dominance is a STRICT total order — y evicts x iff cos(x,y) ≥ τ and
+    (cent_sim_y, id_y) < (cent_sim_x, id_x) lexicographically — so two
+    mutual duplicates can never both be dropped, and the survivor set is
+    deterministic at any parallelism.
+
+    Plan shape: one vectorized assignment pass (the IVF kernel), a
+    broadcast join against the k·dim centroid table for cent_sim, then a
+    SELF-JOIN ON centroid_id — the all-pairs work is confined to single
+    clusters, which is the paper's own scaling argument: k grows with the
+    corpus so per-cluster membership (and thus the quadratic term) stays
+    bounded; the join shuffles each side once on centroid_id. A pathological
+    giant cluster is a data-skew signal (raise k), the same lever the
+    paper's 100k-cluster LAION config uses.
+
+    ``centroids``: pass a pre-trained (k, dim) array to skip training and
+    reuse an IVF index's centroids (index-once tier); default trains
+    ``ivf_train`` on the input (deterministic init: first k vectors by id).
+    """
+    if centroids is None:
+        centroids = ivf_train(embeddings, n_clusters, n_iters, vec_col, seed)
+    C = np.asarray(centroids, dtype=np.float64)
+    spark = embeddings.sparkSession
+    assigned = _assign_centroids(embeddings, C, vec_col)
+
+    # unit-normalize once so every pairwise/centroid cosine is a plain dot
+    e = (
+        embeddings.select("vec_id", F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
+        .withColumn("_n", _norm(F.col("_v")))
+        .withColumn(
+            "_u",
+            F.when(F.col("_n") == 0, F.col("_v")).otherwise(
+                F.transform("_v", lambda x: x / F.col("_n"))
+            ),
+        )
+        .join(assigned, "vec_id")
+        .select("vec_id", "centroid_id", "_u")
+    )
+    norms = np.sqrt((C * C).sum(axis=1))
+    norms[norms == 0] = 1.0
+    Cu = C / norms[:, None]
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(Cu)],
+        "centroid_id int, c_unit array<double>",
+    )
+    scored = e.join(F.broadcast(cents), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        "_u",
+        F.round(_dot(F.col("_u"), F.col("c_unit")), 9).alias("cent_sim"),
+    )
+
+    a = scored.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("id_x"),
+        F.col("_u").alias("ux"),
+        F.col("cent_sim").alias("cs_x"),
+    )
+    b = scored.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("id_y"),
+        F.col("_u").alias("uy"),
+        F.col("cent_sim").alias("cs_y"),
+    )
+    dominated = (
+        a.join(b, "centroid_id")
+        .filter(
+            (F.col("id_x") != F.col("id_y"))
+            & (
+                (F.col("cs_y") < F.col("cs_x"))
+                | ((F.col("cs_y") == F.col("cs_x")) & (F.col("id_y") < F.col("id_x")))
+            )
+        )
+        .filter(F.round(_dot(F.col("ux"), F.col("uy")), 9) >= threshold)
+        .select(F.col("id_x").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        scored.join(dominated.withColumn("_drop", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round("cent_sim", 6).alias("cent_sim"),
+            F.coalesce(F.col("_drop"), F.lit(False)).alias("dropped"),
+        )
+        .withColumn("keep", ~F.col("dropped"))
+        .drop("dropped")
+    )
