@@ -51,11 +51,18 @@ def gram_bucket(gram: Column, n_buckets: int, salt: str) -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(n_buckets)
 
 
-def _words(text_col: Column) -> Column:
-    """Whitespace tokens, empty strings dropped (the dedup.py gram
-    convention: split(trim(text), '\\s+'); the filter makes empty/blank
-    documents yield ZERO grams instead of one ''-gram)."""
+def words_expr(text_col: Column) -> Column:
+    """THE word-split convention, shared by dsir and tokenizer (and
+    matching the dedup.py gram queries): split on Java ``\\s+`` — the
+    ASCII class [ \\t\\n\\x0b\\f\\r], NOT Unicode whitespace — empty
+    strings dropped, so empty/blank documents yield ZERO words. Any
+    Python-side kernel that re-tokenizes (tokenizer.bpe_encode) must use
+    the same ASCII class or its word set silently diverges on NBSP-style
+    Unicode whitespace."""
     return F.filter(F.split(F.trim(text_col), r"\s+"), lambda w: w != "")
+
+
+_words = words_expr
 
 
 def hashed_grams(text_col: Column) -> Column:

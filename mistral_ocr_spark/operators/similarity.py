@@ -399,6 +399,10 @@ def ivf_train(
         .limit(n_centroids)
         .collect()
     )
+    if not k_init:
+        # fail at the call site, not as numpy's opaque "need at least one
+        # array to concatenate" from an upstream filter that drained the input
+        raise ValueError("ivf_train: embeddings DataFrame is empty")
     C = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in k_init])
     for _ in range(n_iters):
         assigned = _assign_centroids(embeddings, C, vec_col)
@@ -597,7 +601,14 @@ def semdedup(
 
     ``centroids``: pass a pre-trained (k, dim) array to skip training and
     reuse an IVF index's centroids (index-once tier); default trains
-    ``ivf_train`` on the input (deterministic init: first k vectors by id).
+    ``ivf_train`` on the input (deterministic seeded init: the k vectors
+    with smallest ``xxhash64(vec_id, seed)``).
+
+    The assigned/normalized/centroid-scored table feeds THREE plan
+    branches (both self-join sides and the final keep-join), so it is
+    materialized once to warehouse scratch parquet — without that, the
+    mapInPandas assignment kernel and the normalization chain re-run per
+    branch (the corpus-pipeline re-extraction lesson, dedup.py pattern).
     """
     if centroids is None:
         centroids = ivf_train(embeddings, n_clusters, n_iters, vec_col, seed)
@@ -631,6 +642,11 @@ def semdedup(
         "_u",
         F.round(_dot(F.col("_u"), F.col("c_unit")), 9).alias("cent_sim"),
     )
+    from mistral_ocr_spark.operators.dedup import scratch_table_dir
+
+    scored_dir = f"{scratch_table_dir(spark)}/semdedup_scored"
+    scored.write.mode("overwrite").parquet(scored_dir)
+    scored = spark.read.parquet(scored_dir)
 
     a = scored.select(
         F.col("centroid_id"),

@@ -125,3 +125,9 @@ def test_end_to_end_planted_scaled_duplicates(spark, sf_dir):
     for r in base.select("vec_id").collect():
         assert keep[r.vec_id], f"original {r.vec_id} dropped"
         assert not keep[r.vec_id + 100000], f"copy {r.vec_id + 100000} kept"
+
+
+def test_empty_input_raises_cleanly(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        S.semdedup(empty)
