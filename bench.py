@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "decontaminate",
     "range_join_clicks",
+    "dsir_select",
 ]
 
 
@@ -419,6 +420,50 @@ def main() -> None:
             lm_dir = f"{tmp}/lm_steady"
             X.ngram_lm_train(docs, lm_dir, min_count=2)
             from mistral_ocr_spark.operators import prep as PREP
+            from mistral_ocr_spark.operators import tokenizer as TK
+            from mistral_ocr_spark.sources import warc as WARC
+
+            # BPE training is a driver-returning op (merge list, not a
+            # DataFrame): timed on its own, once — the distributed word
+            # count dominates; the driver merge loop is bounded by
+            # max_words.
+            t0 = time.time()
+            bpe_merges = TK.train_bpe(docs, 200, max_words=50_000)
+            result["queries"]["bpe_train"] = round(time.time() - t0, 3)
+
+            # WARC parse throughput: blobs prebuilt (untimed) from the
+            # first 50k bench pages, ~64 gzip-member records per blob —
+            # the Common Crawl segment shape at fixture scale.
+            import pandas as pd
+
+            def _to_blobs(batches):
+                for pdf in batches:
+                    blobs = []
+                    recs = [
+                        {
+                            "warc_type": "response",
+                            "url": u,
+                            "payload": WARC.make_http_response(bytes(h)),
+                        }
+                        for u, h in zip(pdf["url"], pdf["html"])
+                    ]
+                    for i in range(0, len(recs), 64):
+                        blobs.append(WARC.make_warc(recs[i : i + 64], gzip_members=True))
+                    yield pd.DataFrame({"warc": blobs})
+
+            warc_path = f"{tmp}/warc_blobs"
+            (
+                spark.read.parquet(pages_path)
+                .filter("html IS NOT NULL")  # the NULL-html fallback rows
+                # have no response body to wrap
+                .limit(50_000)
+                .repartition(CPUS)
+                .mapInPandas(_to_blobs, "warc binary")
+                .selectExpr("monotonically_increasing_id() AS src_id", "warc")
+                .write.mode("overwrite")
+                .parquet(warc_path)
+            )
+            warc_blobs = spark.read.parquet(warc_path)
 
             extra = {
                 "lm_perplexity": lambda: X.lm_perplexity(docs, lm_dir),
@@ -448,6 +493,10 @@ def main() -> None:
                 "corpus_pipeline": lambda: build_training_corpus(
                     spark.read.parquet(pages_path), line_min_df=2
                 ),
+                # r5 additions: selection / semantic dedup / tokenize / ingest
+                "semdedup": lambda: SIM.semdedup(emb, n_clusters=16, n_iters=3),
+                "bpe_encode": lambda: TK.bpe_encode(docs, bpe_merges),
+                "warc_parse": lambda: WARC.warc_to_pages(WARC.read_warc(warc_blobs)),
             }
             for name, mk in extra.items():
                 samples = []

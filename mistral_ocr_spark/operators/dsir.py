@@ -65,13 +65,17 @@ def words_expr(text_col: Column) -> Column:
 _words = words_expr
 
 
-def hashed_grams(text_col: Column) -> Column:
-    """Unigrams + bigrams as one string array. Bigram join char is a
-    single space (words cannot contain whitespace, so the mapping
-    gram→string is injective). ``sequence(1,0)`` is DESCENDING in Spark,
-    hence the explicit size guard on the bigram leg."""
-    w = _words(text_col)
-    unis = w
+def grams_from_words(w: Column) -> Column:
+    """Unigrams + bigrams from an ALREADY-MATERIALIZED words column.
+    Bigram join char is a single space (words cannot contain whitespace,
+    so the mapping gram→string is injective). ``sequence(1,0)`` is
+    DESCENDING in Spark, hence the explicit size guard on the bigram leg.
+
+    ``w`` must be a plain column reference, not a computed expression:
+    Spark does NO common-subexpression elimination inside transform
+    lambdas, so a computed ``w`` would re-run (e.g.) the regex word split
+    TWICE PER BIGRAM — O(words²) splits per document (measured 10× on
+    dsir_select; the quantize_embeddings materialize-first rule)."""
     bis = F.when(
         F.size(w) >= 2,
         F.transform(
@@ -79,17 +83,27 @@ def hashed_grams(text_col: Column) -> Column:
             lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.concat(unis, bis)
+    return F.concat(w, bis)
+
+
+def hashed_grams(text_col: Column) -> Column:
+    """Convenience single-expression form (docs/tests). For anything on a
+    hot path use ``grams_from_words`` over a materialized words column —
+    see its no-CSE warning."""
+    return grams_from_words(words_expr(text_col))
 
 
 def _doc_buckets(df: DataFrame, text_col: str, id_col: str, n_buckets: int, salt: str) -> DataFrame:
-    """(id, bucket) — one row per gram occurrence. explode_outer, not
-    explode: Catalyst's InferFiltersFromGenerate would otherwise clone the
-    whole gram kernel into an inferred size(...)>0 filter and evaluate it
-    twice per row (the r4 decontaminate 26s trap)."""
-    g = df.select(
+    """(id, bucket) — one row per gram occurrence. Words materialize in
+    their own projection FIRST (no-CSE-in-lambdas rule, see
+    grams_from_words). explode_outer, not explode: Catalyst's
+    InferFiltersFromGenerate would otherwise clone the whole gram kernel
+    into an inferred size(...)>0 filter and evaluate it twice per row
+    (the r4 decontaminate 26s trap)."""
+    wdf = df.select(F.col(id_col), words_expr(F.col(text_col)).alias("_ws"))
+    g = wdf.select(
         F.col(id_col),
-        F.explode_outer(hashed_grams(F.col(text_col))).alias("gram"),
+        F.explode_outer(grams_from_words(F.col("_ws"))).alias("gram"),
     ).filter(F.col("gram").isNotNull())
     return g.select(id_col, gram_bucket(F.col("gram"), n_buckets, salt).alias("bucket"))
 

@@ -176,3 +176,17 @@ def test_matches_duckdb_oracle_on_documents_fixture(spark, sf_dir):
         (i, pytest.approx(lw, abs=2e-6), pytest.approx(s, abs=2e-6))
         for i, lw, s in want
     ]
+
+
+def test_word_split_evaluates_once_in_plan(spark, raw_df):
+    """The words array must materialize in its own projection: with the
+    split inlined into the bigram lambda, Spark re-runs the regex split
+    twice PER BIGRAM (no CSE in transform lambdas — measured ~10x on this
+    operator; the r4 Generate-double-eval cousin)."""
+    plan = (
+        dsir._doc_buckets(raw_df, "text", "doc_id", B, SALT)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1
