@@ -397,6 +397,7 @@ def main() -> None:
             # query); bm25_adhoc is the one-off tier on the same terms.
             from pyspark.sql import functions as F
 
+            from mistral_ocr_spark.operators import dedup as D
             from mistral_ocr_spark.operators import sketches as K
             from mistral_ocr_spark.operators import textstats as X
             from mistral_ocr_spark.operators.corpus import build_training_corpus
@@ -422,6 +423,21 @@ def main() -> None:
             from mistral_ocr_spark.operators import prep as PREP
             from mistral_ocr_spark.operators import tokenizer as TK
             from mistral_ocr_spark.sources import warc as WARC
+
+            # quality-classifier training is a driver-coordinated GD loop
+            # (writes a model dir, returns meta) — timed once, like
+            # bpe_train; scoring is the corpus-wide JVM plan, timed below.
+            from mistral_ocr_spark.operators import quality_clf as QC
+
+            qclf_dir = f"{tmp}/qclf_model"
+            t0 = time.time()
+            QC.train_quality_classifier(
+                docs.withColumn("label", (F.col("lang") == "en").cast("int")),
+                qclf_dir,
+                n_buckets=1 << 14,
+                n_iters=10,
+            )
+            result["queries"]["qclf_train"] = round(time.time() - t0, 3)
 
             # BPE training is a driver-returning op (merge list, not a
             # DataFrame): timed on its own, once — the distributed word
@@ -495,6 +511,10 @@ def main() -> None:
                 ),
                 # r5 additions: selection / semantic dedup / tokenize / ingest
                 "semdedup": lambda: SIM.semdedup(emb, n_clusters=16, n_iters=3),
+                # k=20 (not the paper's 50): the fixture docs average 54
+                # words, so k=50 would time a no-op window kernel
+                "exact_substring_dedup": lambda: D.exact_substring_dedup(docs, k=20),
+                "qclf_score": lambda: QC.quality_score(docs, qclf_dir),
                 "bpe_encode": lambda: TK.bpe_encode(docs, bpe_merges),
                 "warc_parse": lambda: WARC.warc_to_pages(WARC.read_warc(warc_blobs)),
             }

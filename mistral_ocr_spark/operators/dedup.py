@@ -882,3 +882,201 @@ def augmented_docs(docs: DataFrame, id_offset: int = 100000) -> DataFrame:
         F.regexp_replace(F.col("text"), r"\s+\S+$", "").alias("text"),
     )
     return docs.select("doc_id", "text").unionAll(pert)
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr: corpus-wide duplicated-span removal (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", §4.1), word-token variant: any
+    span of ≥ ``k`` words that occurs more than once ANYWHERE in the
+    corpus (across documents or repeated inside one) is removed from
+    every occurrence except one deterministic winner. This is the span
+    granularity between whole-document exact dedup and line dedup — it
+    catches quoted passages, syndicated paragraphs, and templated spans
+    that whole-doc and line rules both miss. The reference has no analog
+    (its dedup surface is whole-file get-or-create,
+    simple_client.py:520-536); this is the pipeline-scale generalization.
+
+    Semantics (matched by the pure-Python ground truth in
+    tests/test_exact_substring.py):
+    - tokenization = ``dsir.words_expr`` (ASCII ``\\s+``, empties dropped)
+      — the shared split convention, so token positions agree with the
+      BPE/DSIR operators;
+    - a word position is dropped iff some k-window covering it has ≥2
+      occurrence sites corpus-wide and this site is not that window's
+      global winner ``min(struct(id, start))``;
+    - documents that lose NO words return their original text
+      byte-for-byte; documents that lose a span are reassembled as the
+      surviving words space-joined (original whitespace inside a
+      modified doc is not preserved — reassembly happens at the shared
+      word granularity);
+    - documents shorter than ``k`` words are never touched (run
+      ``exact_dedup`` for whole-short-doc copies); documents with
+      empty/NULL text come back as ("", 0, 0) rows, never dropped.
+
+    Returns one row per input document:
+    ``(id_col, text, n_words_kept, n_words_dropped)``.
+
+    Plan shape at 100 TB (all stages linear, no self-join on the corpus):
+    1. The word split materializes ONCE to scratch parquet before the
+       plan branches (occurrences / tokens / totals all read it — the
+       materialize-before-branching rule from the corpus pipeline and
+       semdedup); the original text is NOT copied into scratch — the
+       final anchor re-reads only (id, text) from the source, a pruned
+       columnar scan with no kernel on it.
+    2. k-window hashing is JVM-side ``xxhash64(slice(words, i, k))`` —
+       O(n·k) hash work per doc, embarrassingly parallel inside
+       whole-stage codegen. (A mod-2^61 rolling hash would make this
+       O(n), but needs 128-bit mulmod — not expressible JVM-side without
+       a UDF; measured acceptable at k=50, see BENCH.md.) TWO
+       independent slice hashes key each window: a single 64-bit key
+       collides ~10^4 times at 10^12-scale window counts and every
+       collision falsely deletes k words; 128 bits pushes that to ~1e-7
+       expected corpus-wide.
+    3. Occurrence count + global winner per window key via
+       ``groupBy(h1,h2)`` (map-side partial agg — count and min both
+       combine, so hot keys collapse BEFORE the shuffle), then an inner
+       join of the occurrence stream against the ≥2-count keys only.
+       NOT a window function over partitionBy(h1,h2): a boilerplate
+       span repeated 10^8 times corpus-wide would funnel every
+       occurrence into one sorting WindowExec task (a straggler AQE
+       cannot split), while AQE's skew-join handling CAN split the
+       equivalent hot join partition. The price is the window kernel
+       evaluating once per branch (2×) over the cheap scratch read.
+    4. Non-winner duplicate starts shuffle once on the doc key; maximal
+       covered intervals come from the classic run-split (new run when
+       start gap > k — fixed-length-k intervals merge iff gap ≤ k), so
+       exploded covered positions are exact and disjoint: never more
+       than one row per covered word, no ``distinct`` rescue shuffle.
+    5. Tokens anti-join covered positions on (id, pos) and reassemble
+       per doc (``array_sort(collect_list(struct))`` — per-group memory
+       is one document, the line-dedup bound).
+    """
+    from pyspark.sql import Window
+
+    from mistral_ocr_spark.operators.dsir import words_expr
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    spark = docs.sparkSession
+    if scratch_dir is None:
+        scratch_dir = scratch_table_dir(spark)
+    ws_path = os.path.join(scratch_dir, "exsub_words.parquet")
+    docs.select(
+        F.col(id_col), words_expr(F.col(text_col)).alias("_ws")
+    ).write.mode("overwrite").parquet(ws_path)
+    wdf = spark.read.parquet(ws_path)
+
+    # -- 1. window occurrences --------------------------------------------
+    w = F.col("_ws")
+    wins = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.xxhash64(F.slice(w, i, k)).alias("h1"),
+                F.xxhash64(F.lit(k), F.slice(w, i, k)).alias("h2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,h1:bigint,h2:bigint>>"))
+    # explode_outer: plain explode of a computed array re-evaluates the
+    # whole O(n·k) kernel inside an inferred size(...)>0 filter (the r4
+    # InferFiltersFromGenerate trap)
+    occ = (
+        wdf.select(F.col(id_col), F.explode_outer(wins).alias("_w"))
+        .filter(F.col("_w").isNotNull())
+        .select(id_col, "_w.start", "_w.h1", "_w.h2")
+    )
+
+    # -- 2. count + winner: map-side-combined agg + skew-splittable join --
+    site = F.struct(F.col(id_col), F.col("start"))
+    dup_keys = (
+        occ.groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.min(site).alias("_win"))
+        .filter(F.col("_cnt") >= 2)
+    )
+    # inner join: the non-duplicated majority of occurrences drops here;
+    # no broadcast hint — AQE decides (and can split skewed partitions)
+    nonwin = (
+        occ.join(dup_keys, ["h1", "h2"])
+        .filter(site != F.col("_win"))
+        .select(id_col, "start")
+    )
+
+    # -- 3. maximal covered intervals per doc -----------------------------
+    dw = Window.partitionBy(id_col).orderBy("start")
+    run_sum = Window.partitionBy(id_col).orderBy("start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # explicit ROWS frame (RANGE double-counts peers — prep.py lesson;
+    # starts are unique per doc here, but never rely on that implicitly)
+    covered = (
+        nonwin.withColumn(
+            "_new",
+            F.when(
+                F.col("start") - F.lag("start").over(dw) > k, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_run", F.sum("_new").over(run_sum))
+        .groupBy(id_col, "_run")
+        .agg(
+            F.min("start").alias("_lo"),
+            (F.max("start") + F.lit(k - 1)).alias("_hi"),
+        )
+        .select(id_col, F.explode(F.sequence("_lo", "_hi")).alias("tpos"))
+    )
+
+    # -- 4. anti-join tokens, reassemble, anchor on every input doc -------
+    # posexplode_outer + null filter (not plain posexplode): the
+    # InferFiltersFromGenerate clone again. Reassembly cannot anchor the
+    # output by itself — a doc whose EVERY token is covered has zero kept
+    # rows (caught by the small-vocab fuzz test) — so the final row set
+    # left-joins from the input ids, the line-dedup rule.
+    toks = (
+        wdf.select(F.col(id_col), F.posexplode_outer("_ws").alias("_p0", "_word"))
+        .filter(F.col("_word").isNotNull())
+        .select(id_col, (F.col("_p0") + 1).alias("tpos"), "_word")
+    )
+    kept = toks.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", F.col("_word").alias("w")))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("_text"),
+        F.count(F.lit(1)).cast("bigint").alias("_kept"),
+    )
+    totals = wdf.select(
+        F.col(id_col), F.coalesce(F.size("_ws"), F.lit(0)).alias("_n")
+    )
+    kept_n = F.coalesce("_kept", F.lit(0))
+    dropped = F.col("_n") - kept_n
+    return (
+        docs.select(F.col(id_col), F.col(text_col).alias("_orig"))
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            # untouched docs return their ORIGINAL text byte-for-byte
+            # (space-joined reassembly would silently normalize every
+            # doc's whitespace — review catch); only modified docs get
+            # the reassembled form
+            F.when(dropped > 0, F.coalesce("_text", F.lit("")))
+            .otherwise(F.coalesce("_orig", F.lit("")))
+            .alias("text"),
+            kept_n.cast("bigint").alias("n_words_kept"),
+            dropped.cast("bigint").alias("n_words_dropped"),
+        )
+    )
