@@ -399,6 +399,7 @@ def main() -> None:
 
             from mistral_ocr_spark.operators import dedup as D
             from mistral_ocr_spark.operators import sketches as K
+            from mistral_ocr_spark.operators import urls as UU
             from mistral_ocr_spark.operators import textstats as X
             from mistral_ocr_spark.operators.corpus import build_training_corpus
 
@@ -515,6 +516,18 @@ def main() -> None:
                 # words, so k=50 would time a no-op window kernel
                 "exact_substring_dedup": lambda: D.exact_substring_dedup(docs, k=20),
                 "qclf_score": lambda: QC.quality_score(docs, qclf_dir),
+                "url_canonicalize": lambda: spark.read.parquet(pages_path).select(
+                    UU.canonicalize_url(F.col("url")).alias("curl"),
+                    UU.registrable_domain(UU.url_host(F.col("url"))).alias("domain"),
+                ),
+                # the pages fixture plants a hot host holding 30% of the
+                # corpus — exactly the skew the prefilter+window design
+                # is for; url doubles as the stable row key
+                "host_cap_sample": lambda: UU.host_cap_sample(
+                    spark.read.parquet(pages_path).select("url"),
+                    1000,
+                    id_col="url",
+                ),
                 "bpe_encode": lambda: TK.bpe_encode(docs, bpe_merges),
                 "warc_parse": lambda: WARC.warc_to_pages(WARC.read_warc(warc_blobs)),
             }

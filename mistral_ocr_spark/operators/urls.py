@@ -1,0 +1,163 @@
+"""URL canonicalization and host-level corpus controls.
+
+A web-scale training-data pipeline keys almost everything on the url
+(dedup identity, per-host politeness caps, domain mixing weights), and
+raw crawl urls disagree on trivia — scheme/host case, default ports,
+tracking parameters, fragments. The reference stores urls verbatim and
+keys its get-or-create on the exact string
+(simple_client.py:520-536); these operators supply the canonical-key
+layer above that, plus the Common-Crawl-style host controls.
+
+Everything here is pure Spark built-ins (regexp + array functions — no
+lookarounds anywhere, so every pattern is portable to RE2 engines; the
+redact_pii lesson). The expression ops are map-side zero-shuffle;
+``host_cap_sample`` shuffles twice by design (see its docstring's
+shuffle accounting).
+
+Canonicalization contract (documented, deliberately conservative — no
+path re-encoding, no query-param sorting, since both can change remote
+semantics):
+1. strip the fragment (first ``#`` onward);
+2. lowercase the ``scheme://authority`` prefix only (path/query case is
+   significant);
+3. drop default ports ``:80`` (http) / ``:443`` (https);
+4. drop tracking query parameters (``utm_*``, ``gclid``, ``fbclid``,
+   ``msclkid``, ``mc_eid``), dropping the ``?`` if the query empties;
+5. drop the trailing slash of a bare-root url (``…//host/`` →
+   ``…//host``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """The canonical form of ``url`` per the module contract. NULL in →
+    NULL out; strings without a ``scheme://`` prefix pass through steps
+    1/4 only (no authority to case-fold or de-port)."""
+    # 1. fragment
+    u = F.substring_index(url, "#", 1)
+    # 2. lowercase scheme://authority (authority = up to first /?# after
+    #    the //); rest untouched
+    pre = F.regexp_extract(u, r"^[^/?#]*://[^/?#]*", 0)
+    u = F.when(pre != "", F.concat(F.lower(pre), F.substr(u, F.length(pre) + 1))).otherwise(u)
+    # 3. default ports (group 2 may be unmatched → substitutes empty)
+    u = F.regexp_replace(u, r"^(http://[^/?#:]+):80([/?#].*)?$", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]+):443([/?#].*)?$", r"$1$2")
+    # 4. tracking params via ARRAY filtering, not a regex over the whole
+    #    query: an alternation like (gclid)=? inside a bigger pattern
+    #    would need a boundary lookahead to avoid eating 'gclidx=5', and
+    #    lookarounds are banned (RE2 portability)
+    qpos = F.instr(u, "?")
+    base = F.when(qpos > 0, F.substr(u, F.lit(1), qpos - 1)).otherwise(u)
+    qs = F.when(qpos > 0, F.substr(u, qpos + 1))
+    kept = F.filter(
+        F.split(qs, "&"), lambda p: ~p.rlike(_TRACKING_RE)
+    )
+    u = F.when(
+        qpos > 0,
+        F.when(
+            F.size(kept) > 0,
+            F.concat(base, F.lit("?"), F.array_join(kept, "&")),
+        ).otherwise(base),
+    ).otherwise(u)
+    # 5. bare-root trailing slash
+    return F.regexp_replace(u, r"^([a-z][a-z0-9+.\-]*://[^/?#]+)/$", r"$1")
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of ``url`` ('' when there is no ``scheme://``
+    authority, NULL for NULL input; userinfo and port excluded).
+    IPv6-literal authorities keep their brackets (``[2001:db8::1]``) —
+    the bracket alternation matches BEFORE the colon-terminated form, or
+    the address would truncate at its first group."""
+    return F.lower(
+        F.regexp_extract(
+            url, r"^[^/?#]*://([^/?#@]*@)?(\[[^\]/?#]*\]|[^/?#:]+)", 2
+        )
+    )
+
+
+def registrable_domain(host: Column) -> Column:
+    """Registered-domain heuristic: last two labels, or last three when
+    the second-to-last label is a known multi-part-TLD second level
+    (co/com/org/net/ac/gov/edu/mil + 2-letter ccTLD — e.g. ``co.uk``,
+    ``com.au``). A full public-suffix list is an external artifact this
+    sandbox doesn't ship; the heuristic covers the bulk of crawl traffic
+    and the limitation is part of the contract. Hosts without a dot come
+    back unchanged."""
+    three = F.regexp_extract(
+        host, r"([^.]+\.(co|com|org|net|ac|gov|edu|mil)\.[a-z][a-z])$", 1
+    )
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(three != "", three).when(two != "", two).otherwise(host)
+
+
+
+
+def host_cap_sample(
+    df: DataFrame,
+    max_per_host: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    salt: str = "hostcap-v1",
+) -> DataFrame:
+    """Keep at most ``max_per_host`` rows per host, membership decided by
+    a deterministic per-row hash order (never 'first N seen' — that's
+    partition-order-dependent): the Common-Crawl-style politeness /
+    anti-domination cap applied before training-corpus assembly.
+
+    100-TB shape: per-host counts come from a map-side-combined
+    ``groupBy`` + join back (the line-dedup hot-set pattern). The exact
+    rank is a ``row_number`` window per host — which on a 10^9-page host
+    would be one sorting straggler task — so a deterministic hash
+    PREFILTER runs first: rows with bucket < 2·cap/count·1e6 survive to
+    the window (expected 2·cap rows per hot host, Chernoff-concentrated),
+    and the window then ranks ~2·cap rows per host instead of count.
+    Shuffle accounting, honestly: TWO corpus-scale shuffles (the count
+    join and the rank window — small hosts pass the prefilter whole, so
+    the window still exchanges most of the corpus); what the prefilter
+    bounds is the per-KEY sort size — the straggler — not total shuffle
+    volume. Fully deterministic in (id, salt): same members at any
+    parallelism, on any engine that can replay md5-prefix arithmetic
+    (the bucket is ``sampling._bucket``'s md5 mode — one shared
+    implementation, the cross-engine replay rule). Rows with NULL url
+    group under the '' pseudo-host and are capped like any other (never
+    silently dropped — review catch; NULL equi-join keys vanish).
+
+    The prefilter makes the cap exact-with-overwhelming-probability for
+    hot hosts (a host would need its 2×-expected survivor draw to land
+    under cap — e^-Ω(cap) by Chernoff; for cap=1000 that is ~1e-60):
+    hosts at or under the cap always keep every row, hot hosts keep
+    exactly the cap except with that vanishing probability (then:
+    slightly fewer). Exactness matters less than determinism here — the
+    cap is a corpus-shaping knob, not an accounting invariant."""
+    from pyspark.sql import Window
+
+    from mistral_ocr_spark.operators.sampling import _DENOM, _bucket
+
+    if max_per_host < 1:
+        raise ValueError(f"max_per_host must be >= 1, got {max_per_host}")
+    host = F.coalesce(url_host(F.col(url_col)), F.lit(""))
+    hdf = df.withColumn("_host", host)
+    counts = hdf.groupBy("_host").agg(F.count(F.lit(1)).alias("_hc"))
+    b = _bucket(id_col, salt, hash="md5")
+    thresh = F.least(
+        F.lit(_DENOM),
+        F.ceil(F.lit(2 * max_per_host * _DENOM) / F.col("_hc")),
+    )
+    survivors = (
+        hdf.join(counts, "_host")
+        .withColumn("_b", b)
+        .filter((F.col("_hc") <= max_per_host) | (F.col("_b") < thresh))
+    )
+    w = Window.partitionBy("_host").orderBy("_b", F.col(id_col))
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_host)
+        .drop("_host", "_hc", "_b", "_rn")
+    )

@@ -1,0 +1,231 @@
+"""URL canonicalization / host ops vs an independent Python reference
+implementing the same documented contract with plain string ops."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mistral_ocr_spark.operators import urls as U
+
+_TRACK = re.compile(r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$")
+
+
+# --- independent reference -------------------------------------------------
+
+def ref_canon(u: str | None) -> str | None:
+    if u is None:
+        return None
+    u = u.split("#", 1)[0]
+    m = re.match(r"^([^/?#]*://[^/?#]*)(.*)$", u, re.S)
+    if m:
+        u = m.group(1).lower() + m.group(2)
+    m = re.match(r"^(http://[^/?#:]+):80($|[/?#].*)$", u, re.S)
+    if m:
+        u = m.group(1) + m.group(2)
+    m = re.match(r"^(https://[^/?#:]+):443($|[/?#].*)$", u, re.S)
+    if m:
+        u = m.group(1) + m.group(2)
+    if "?" in u:
+        base, qs = u.split("?", 1)
+        kept = [p for p in qs.split("&") if not _TRACK.match(p)]
+        u = base + ("?" + "&".join(kept) if kept else "")
+    m = re.match(r"^([a-z][a-z0-9+.\-]*://[^/?#]+)/$", u)
+    if m:
+        u = m.group(1)
+    return u
+
+
+def ref_host(u: str | None) -> str:
+    if u is None:
+        return ""
+    m = re.match(r"^[^/?#]*://(?:[^/?#@]*@)?(\[[^\]/?#]*\]|[^/?#:]+)", u)
+    return m.group(1).lower() if m else ""
+
+
+def ref_bucket(i, salt="hostcap-v1"):
+    h = hashlib.md5(f"{i}-{salt}".encode()).hexdigest()
+    return int(h[:8], 16) % 1_000_000
+
+
+def ref_host_cap(rows, cap, salt="hostcap-v1"):
+    by_host: dict[str, list] = {}
+    for i, u in rows:
+        by_host.setdefault(ref_host(u), []).append(i)
+    keep = set()
+    for ids in by_host.values():
+        if len(ids) <= cap:
+            keep.update(ids)
+            continue
+        thresh = min(1_000_000, math.ceil(2 * cap * 1_000_000 / len(ids)))
+        surv = sorted(
+            (ref_bucket(i, salt), i) for i in ids if ref_bucket(i, salt) < thresh
+        )
+        keep.update(i for _, i in surv[:cap])
+    return keep
+
+
+# --- canonicalization ------------------------------------------------------
+
+CASES = [
+    ("HTTP://Example.COM:80/Path?utm_source=x&q=1#frag", "http://example.com/Path?q=1"),
+    ("https://A.B:443/", "https://a.b"),
+    ("http://x.com/?gclid=5", "http://x.com"),
+    ("http://x.com/?gclidx=5", "http://x.com/?gclidx=5"),  # name boundary
+    ("http://x.com:8080/", "http://x.com:8080"),  # port kept, root / dropped
+    ("example.com/page?utm_a=1&b=2", "example.com/page?b=2"),
+    ("http://User@X.com/P", "http://user@x.com/P"),
+    ("https://x.com/a/?utm_campaign=z", "https://x.com/a/"),  # non-root slash kept
+    ("http://x.com", "http://x.com"),
+    ("", ""),
+    (None, None),
+]
+
+
+def test_canonicalize_cases(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CASES)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", U.canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(CASES):
+        assert got[i] == want, (u, got[i], want)
+        assert ref_canon(u) == want, (u, ref_canon(u), want)  # ref agrees too
+
+
+def _rand_urls(n=250, seed=31):
+    rng = random.Random(seed)
+    schemes = ["http", "HTTP", "https", "ftp", ""]
+    hosts = ["Example.com", "a.b.co.uk", "X.Y", "localhost", "pics.example.com"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a", "/a/b.html", "/a/"]
+    params = ["utm_source=x", "q=1", "gclid=9", "id=a&utm_medium=m", "fbclid", "x=y"]
+    frags = ["", "#top", "#a?b"]
+    out = []
+    for _ in range(n):
+        s = rng.choice(schemes)
+        pre = f"{s}://" if s else ""
+        q = rng.choice(["", "?" + "&".join(rng.sample(params, rng.randint(1, 3)))])
+        out.append(
+            pre
+            + rng.choice(hosts)
+            + rng.choice(ports)
+            + rng.choice(paths)
+            + q
+            + rng.choice(frags)
+        )
+    return out
+
+
+def test_canonicalize_fuzz_matches_reference(spark):
+    urls = _rand_urls()
+    df = spark.createDataFrame(list(enumerate(urls)), "i long, url string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", U.canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == ref_canon(u), (u, got[i], ref_canon(u))
+
+
+def test_host_and_registrable_domain(spark):
+    cases = [
+        ("http://www.BBC.co.uk/news", "www.bbc.co.uk", "bbc.co.uk"),
+        ("https://a.sub.example.com/x", "a.sub.example.com", "example.com"),
+        ("http://u:p@shop.com.au:8080/", "shop.com.au", "shop.com.au"),
+        ("http://localhost/x", "localhost", "localhost"),
+        ("no-scheme/path", "", ""),
+        # IPv6 literal keeps its brackets (would truncate at ':' otherwise)
+        ("http://[2001:db8::1]:8080/x", "[2001:db8::1]", "[2001:db8::1]"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)], "i long, url string"
+    )
+    h = U.url_host(F.col("url"))
+    got = {
+        r["i"]: (r["h"], r["d"])
+        for r in df.select(
+            "i", h.alias("h"), U.registrable_domain(h).alias("d")
+        ).collect()
+    }
+    for i, (u, wh, wd) in enumerate(cases):
+        assert got[i] == (wh, wd), (u, got[i])
+        assert ref_host(u) == wh
+
+
+# --- host cap --------------------------------------------------------------
+
+def _cap_corpus():
+    rng = random.Random(5)
+    rows = []
+    i = 0
+    for host, n in [("big.com", 200), ("mid.org", 12), ("tiny.net", 3), ("", 5)]:
+        for _ in range(n):
+            pre = f"http://{host}" if host else "relative"
+            rows.append((i, f"{pre}/p{rng.randint(0, 10**6)}"))
+            i += 1
+    # NULL urls must survive under the '' pseudo-host, never vanish
+    rows.append((i, None))
+    rows.append((i + 1, None))
+    return rows
+
+
+def test_host_cap_matches_reference(spark):
+    rows = _cap_corpus()
+    cap = 10
+    df = spark.createDataFrame(rows, "doc_id long, url string").repartition(8)
+    kept = {r["doc_id"] for r in U.host_cap_sample(df, cap, "url").collect()}
+    assert kept == ref_host_cap(rows, cap)
+    # structural: cap respected, small hosts intact
+    by_host: dict[str, int] = {}
+    urlmap = dict(rows)
+    for i in kept:
+        h = ref_host(urlmap[i])
+        by_host[h] = by_host.get(h, 0) + 1
+    assert by_host["big.com"] == cap
+    assert by_host["mid.org"] == cap
+    assert by_host["tiny.net"] == 3
+    assert by_host[""] == 7  # 5 relative + 2 NULL urls, all kept
+
+
+def test_host_cap_deterministic_across_parallelism(spark):
+    rows = _cap_corpus()
+    a = {
+        r["doc_id"]
+        for r in U.host_cap_sample(
+            spark.createDataFrame(rows, "doc_id long, url string").repartition(2), 7
+        ).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in U.host_cap_sample(
+            spark.createDataFrame(rows, "doc_id long, url string").repartition(16), 7
+        ).collect()
+    }
+    assert a == b
+
+
+def test_host_cap_validation(spark):
+    df = spark.createDataFrame([(1, "http://x/")], "doc_id long, url string")
+    with pytest.raises(ValueError):
+        U.host_cap_sample(df, 0)
+
+
+def test_mid_host_cap_exactness_note(spark):
+    """mid.org has 12 rows, cap 10: thresh = ceil(2*10*1e6/12) > 1e6 so
+    the prefilter keeps everything and the window rank is exact — the
+    'fewer than cap' tail risk only exists when thresh < 1e6 AND the
+    hash draw starves, i.e. genuinely hot hosts."""
+    rows = [(i, "http://mid.org/x%d" % i) for i in range(12)]
+    kept = U.host_cap_sample(
+        spark.createDataFrame(rows, "doc_id long, url string"), 10
+    ).count()
+    assert kept == 10
