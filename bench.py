@@ -399,6 +399,7 @@ def main() -> None:
 
             from mistral_ocr_spark.operators import dedup as D
             from mistral_ocr_spark.operators import sketches as K
+            from mistral_ocr_spark.operators import mixing as MX
             from mistral_ocr_spark.operators import urls as UU
             from mistral_ocr_spark.operators import textstats as X
             from mistral_ocr_spark.operators.corpus import build_training_corpus
@@ -527,6 +528,18 @@ def main() -> None:
                     spark.read.parquet(pages_path).select("url"),
                     1000,
                     id_col="url",
+                ),
+                # binding stratum = en (2059/.6 < every other count/.1)
+                "balance_to_target": lambda: MX.balance_to_target(
+                    docs,
+                    "lang",
+                    {"en": 0.6, "de": 0.1, "fr": 0.1, "es": 0.1, "zh": 0.1},
+                    "doc_id",
+                ),
+                # ~2/3 of the sf0.1 corpus by chars — the budget cut lands
+                # mid-distribution, so the prefix sum actually decides
+                "select_until_budget": lambda: MX.select_until_budget(
+                    docs, 1_000_000, score_col="n_chars", cost_col="n_chars"
                 ),
                 "bpe_encode": lambda: TK.bpe_encode(docs, bpe_merges),
                 "warc_parse": lambda: WARC.warc_to_pages(WARC.read_warc(warc_blobs)),

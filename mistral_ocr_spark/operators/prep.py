@@ -148,6 +148,103 @@ def redact_pii(
     return out.withColumn(text_col, masked)
 
 
+_INTEGRAL_TYPES = {"byte", "tinyint", "short", "smallint", "int", "integer", "bigint", "long"}
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order: list,
+    value_col: str,
+    *,
+    partitions: int | None = None,
+    scratch_dir: str | None = None,
+    file_prefix: str = "prefix_staged",
+    extra_aggs: list | None = None,
+) -> tuple[DataFrame, list]:
+    """Inclusive global running sum of ``value_col`` in ``order`` as a
+    DISTRIBUTED prefix sum — the shared machinery under ``pack_sequences``
+    and ``mixing.select_until_budget`` (a global running sum via a single
+    all-rows window partition is the textbook one-task funnel):
+
+    1. range-repartition by ``order`` and stamp each row's partition id,
+       materialized to scratch so the assignment is DATA — stable across
+       the two passes that read it;
+    2. per-partition inclusive cumsum via a ROWS-framed window PARTITIONED
+       by that id (each window group is one partition's rows — no global
+       funnel; ROWS not the default RANGE frame, which double-counts peer
+       rows tied on ``order``);
+    3. per-partition totals (a P-row aggregate) collected to the driver,
+       exclusive-prefix-summed, broadcast-joined back as base offsets.
+
+    Returns ``(staged, agg_rows)``: ``staged`` is the materialized input
+    plus ``_cum`` (the inclusive running sum, the only added column);
+    ``agg_rows`` are the per-partition aggregate rows (``_pid``, ``_t``,
+    plus any ``extra_aggs``) so callers can run their own validations
+    with no extra pass over the data. ``value_col`` must be an integral
+    type — a fractional column would make the driver-side offset merge
+    and the in-partition window sum disagree in float rounding, so
+    membership near a boundary would depend on the partition layout,
+    breaking the identical-at-any-parallelism contract — and NULL-free
+    (checked here: a NULL row silently vanishes from the running sum).
+    """
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from mistral_ocr_spark.operators.dedup import scratch_table_dir
+
+    dtype = df.schema[value_col].dataType.simpleString()
+    if dtype not in _INTEGRAL_TYPES:
+        raise ValueError(
+            f"{value_col!r} must be an integral type for an exact, "
+            f"parallelism-invariant prefix sum, got {dtype} — cast to long"
+        )
+    spark = df.sparkSession
+    scratch = scratch_dir or scratch_table_dir(spark)
+    p = partitions or spark.sparkContext.defaultParallelism
+    staged = df.repartitionByRange(p, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # uuid-suffixed: the staged table is re-read lazily by the returned
+    # DataFrame, so a second call sharing an explicit scratch_dir must
+    # never overwrite it (r5 review — the base offsets were computed
+    # against THIS file's contents)
+    path = f"{scratch}/{file_prefix}_{_uuid.uuid4().hex}.parquet"
+    staged.write.mode("overwrite").parquet(path)
+    staged = spark.read.parquet(path)
+
+    agg_rows = (
+        staged.groupBy("_pid")
+        .agg(
+            F.sum(value_col).alias("_t"),
+            F.sum(F.col(value_col).isNull().cast("int")).alias("_vnulls"),
+            *(extra_aggs or []),
+        )
+        .collect()
+    )
+    n_nulls = sum(r["_vnulls"] for r in agg_rows)
+    if n_nulls:
+        raise ValueError(f"{n_nulls} rows have NULL {value_col!r}")
+    base, offsets = 0, []
+    for r in sorted(agg_rows, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], base))
+        base += int(r["_t"] or 0)
+    off_df = spark.createDataFrame(offsets, "_pid int, _poff long")
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        staged.withColumn("_lend", F.sum(value_col).over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("_cum", F.col("_poff") + F.col("_lend"))
+        .drop("_pid", "_lend", "_poff")
+    )
+    return out, agg_rows
+
+
 def pack_sequences(
     chunks: DataFrame,
     seq_len: int = 2048,
@@ -166,22 +263,11 @@ def pack_sequences(
     short), with documents flowing across boundaries exactly as
     concatenate-then-split training corpora do.
 
-    A global running sum is the textbook "needs one partition" trap — a
-    single-partition window serializes 10^12 rows through one task. This
-    runs it as a DISTRIBUTED PREFIX SUM instead:
-
-    1. range-repartition by ``order_cols`` and stamp each row's partition
-       id (materialized to scratch, so the id is DATA — stable across the
-       two passes that read it);
-    2. per-partition inclusive cumsum via a window PARTITIONED by that
-       id (each window group is one partition's rows — no global funnel);
-    3. per-partition TOTALS (a P-row aggregate) collected to the driver,
-       exclusive-prefix-summed, and broadcast-joined back as each
-       partition's base offset.
-
-    The driver holds P integers — never rows. Output offsets are a pure
-    function of the ``order_cols`` order, so results are identical at any
-    parallelism (tested) even though partition boundaries differ.
+    The global running sum is ``distributed_prefix_sum`` — never a
+    single-partition window (which would serialize 10^12 rows through one
+    task). The driver holds P integers, never rows; output offsets are a
+    pure function of the ``order_cols`` order, so results are identical
+    at any parallelism (tested) even though partition boundaries differ.
     ``order_cols`` should uniquely key the rows: with duplicate keys the
     ROWS-framed cumsum still yields DISJOINT offset ranges, but the
     relative order of tied rows is unspecified. Rows with NULL
@@ -189,62 +275,18 @@ def pack_sequences(
     stream); NULL-text inputs should be dropped upstream (the
     chunk_documents contract).
     """
-    import uuid as _uuid
-
-    from mistral_ocr_spark.operators.dedup import scratch_table_dir
-
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
-    spark = chunks.sparkSession
-    scratch = scratch_dir or scratch_table_dir(spark)
-    p = partitions or spark.sparkContext.defaultParallelism
-    staged = chunks.repartitionByRange(
-        p, *[F.col(c) for c in order_cols]
-    ).withColumn("_pid", F.spark_partition_id())
-    # uuid-suffixed: the staged table is re-read lazily by the returned
-    # DataFrame, so a second call sharing an explicit scratch_dir must
-    # never overwrite it (r5 review — the base offsets were computed
-    # against THIS file's contents)
-    path = f"{scratch}/pack_staged_{_uuid.uuid4().hex}.parquet"
-    staged.write.mode("overwrite").parquet(path)
-    staged = spark.read.parquet(path)
-
-    totals_rows = (
-        staged.groupBy("_pid")
-        .agg(
-            F.sum(n_tokens_col).alias("_t"),
-            F.sum(F.col(n_tokens_col).isNull().cast("int")).alias("_nulls"),
-        )
-        .collect()
+    staged, _ = distributed_prefix_sum(
+        chunks,
+        [F.col(c) for c in order_cols],
+        n_tokens_col,
+        partitions=partitions,
+        scratch_dir=scratch_dir,
+        file_prefix="pack_staged",
     )
-    n_nulls = sum(r._nulls for r in totals_rows)
-    if n_nulls:
-        # a NULL count would either crash the driver merge or silently
-        # drop the row's tokens from the stream (r5 review)
-        raise ValueError(f"{n_nulls} rows have NULL {n_tokens_col!r}")
-    totals = {r._pid: r._t for r in totals_rows}
-    base, offsets = 0, []
-    for pid in sorted(totals):
-        offsets.append((pid, base))
-        base += int(totals[pid] or 0)
-    off_df = spark.createDataFrame(offsets, "_pid int, _poff long")
-
-    from pyspark.sql import Window
-
-    # explicit ROWS frame: the default RANGE frame includes all PEER rows
-    # tied on order_cols, which assigns overlapping offsets and leaves
-    # holes in the stream (r5 review, repro'd on duplicate keys)
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = (
-        staged.withColumn("_lend", F.sum(n_tokens_col).over(w))
-        .join(F.broadcast(off_df), "_pid")
-        .withColumn(
-            "global_offset", (F.col("_poff") + F.col("_lend") - F.col(n_tokens_col))
-        )
+    return (
+        staged.withColumn("global_offset", F.col("_cum") - F.col(n_tokens_col))
         # integer `div`, not floor(double division): long→double loses
         # exactness past 2^53 cumulative tokens (r5 review) and the
         # 10^12-row design point reaches it
@@ -254,6 +296,5 @@ def pack_sequences(
             "straddles",
             (F.col("seq_pos") + F.col(n_tokens_col) > seq_len).cast("boolean"),
         )
-        .drop("_pid", "_lend", "_poff")
+        .drop("_cum")
     )
-    return out

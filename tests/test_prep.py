@@ -253,6 +253,12 @@ def test_pack_sequences_edge_guards(spark):
     with pytest.raises(ValueError, match="NULL"):
         P.pack_sequences(with_null, seq_len=100, partitions=2)
 
+    frac = spark.createDataFrame(
+        [(1, 0, 5.0)], "doc_id long, chunk_id int, n_tokens double"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        P.pack_sequences(frac, seq_len=100, partitions=2)
+
     big = spark.createDataFrame(
         [(1, 0, 2**53 + 3), (2, 0, 4)], "doc_id long, chunk_id int, n_tokens long"
     )
