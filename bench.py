@@ -398,6 +398,7 @@ def main() -> None:
             from pyspark.sql import functions as F
 
             from mistral_ocr_spark.operators import dedup as D
+            from mistral_ocr_spark.operators import graph as G
             from mistral_ocr_spark.operators import sketches as K
             from mistral_ocr_spark.operators import mixing as MX
             from mistral_ocr_spark.operators import urls as UU
@@ -543,6 +544,23 @@ def main() -> None:
                 ),
                 "bpe_encode": lambda: TK.bpe_encode(docs, bpe_merges),
                 "warc_parse": lambda: WARC.warc_to_pages(WARC.read_warc(warc_blobs)),
+                # link-graph edge emitter over the full bench corpus
+                # (fixture links are same-host, so the pagerank graph
+                # below is synthesized instead of derived)
+                "extract_links": lambda: UU.extract_links(
+                    spark.read.parquet(pages_path)
+                ),
+                # host-authority power iteration: deterministic synthetic
+                # 200k-edge / 20k-node graph; tol=0 so it always runs
+                # exactly 8 rounds (fixed workload, no early stop)
+                "pagerank8": lambda: G.pagerank(
+                    spark.range(200_000).select(
+                        F.pmod(F.xxhash64("id", F.lit("s")), F.lit(20_000)).alias("src_host"),
+                        F.pmod(F.xxhash64("id", F.lit("d")), F.lit(20_000)).alias("dst_host"),
+                    ),
+                    tol=0.0,
+                    max_iters=8,
+                ),
             }
             for name, mk in extra.items():
                 samples = []

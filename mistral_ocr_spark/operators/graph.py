@@ -22,6 +22,10 @@ loop-over-jobs pattern is the same one Spark's own GraphFrames CC uses.
 Reference parity note: stevegsax/mistral-ocr has no graph operator; this is
 part of the training-data-pipeline surface (brief: dedup at scale) built on
 top of the near-dup pair generators in operators/dedup.py.
+
+Also here: ``pagerank`` over the crawl link graph (``urls.extract_links``
+→ ``urls.host_link_graph`` → host authority scores), sharing the same
+scratch-frontier + Observation iteration machinery.
 """
 
 from __future__ import annotations
@@ -183,6 +187,134 @@ def connected_components(
             .select("node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id"))
         )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iters: int = 50,
+    scratch_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """PageRank over a directed edge list — the host-authority signal a
+    Common-Crawl-style pipeline derives from its link graph (domain
+    ranking for quality weighting / crawl prioritization). Returns
+    ``(node, rank)`` with ``sum(rank) == 1``.
+
+    Semantics (the standard power iteration, Page et al. 1999):
+    ``r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + D/N)`` where ``D``
+    is the total rank mass on dangling (outdeg-0) nodes, redistributed
+    uniformly — so rank always sums to exactly 1 and sink nodes don't
+    leak mass. Multi-edges collapse to one (distinct — a page linking a
+    host twice is one endorsement); self-loops are honored. Iteration
+    stops when the L1 delta ``Σ|r'-r| ≤ tol`` or after ``max_iters``.
+
+    100-TB shape (all relational — no adjacency list is ever
+    materialized, so a 10^8-in-link host is a map-side-combined SUM, not
+    a one-task neighbor list): per iteration, one ``groupBy(dst)``
+    contribution sum + one left join back to the node table = two
+    shuffles. The rank frontier re-materializes to scratch parquet each
+    round (the CC pattern — a K-deep lineage would re-optimize
+    superlinearly), with the L1 delta and next dangling mass riding the
+    write as an ``Observation`` — one Spark job per iteration, no
+    separate convergence scan. Frontier K-2 is deleted
+    in-loop (≤2 on disk, the CC hygiene rule).
+
+    ``stats`` (optional, filled in-place): ``n_nodes``, ``n_iters``,
+    ``deltas`` (per-iteration L1 deltas).
+    """
+    from pyspark.sql import Observation
+
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    spark = edges.sparkSession
+    if scratch_dir is None:
+        scratch_dir = scratch_table_dir(spark)
+
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    epath = os.path.join(scratch_dir, "pr_edges.parquet")
+    e.write.mode("overwrite").parquet(epath)
+    e = spark.read.parquet(epath)
+
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionAll(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("_s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    static = nodes.join(deg, "node", "left").select(
+        "node", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
+    )
+    obs0 = Observation()
+    spath = os.path.join(scratch_dir, "pr_ranks_0.parquet")
+    static.observe(
+        obs0,
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("out_deg") == 0).cast("long")).alias("n_dang"),
+    ).write.mode("overwrite").parquet(spath)
+    got0 = obs0.get
+    n = int(got0["n"])
+    if n == 0:
+        raise ValueError("pagerank: empty edge list (no non-NULL endpoints)")
+    d = float(damping)
+    dangling = int(got0["n_dang"]) / n  # uniform init: mass 1/N per node
+    prev = spark.read.parquet(spath).withColumn("rank", F.lit(1.0 / n))
+
+    deltas: list[float] = []
+    n_iters = 0
+    for it in range(1, max_iters + 1):
+        contrib = (
+            e.join(prev, e["_s"] == prev["node"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("_c"))
+        )
+        nxt = (
+            prev.withColumnRenamed("rank", "_prev")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "out_deg",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d) * (F.coalesce("_c", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+                "_prev",
+            )
+        )
+        obs = Observation()
+        path = os.path.join(scratch_dir, f"pr_ranks_{it}.parquet")
+        nxt.observe(
+            obs,
+            F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
+            F.sum(
+                F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)
+            ).alias("dang"),
+        ).select("node", "out_deg", "rank").write.mode("overwrite").parquet(path)
+        got = obs.get
+        delta = float(got["delta"])
+        dangling = float(got["dang"])
+        deltas.append(delta)
+        prev = spark.read.parquet(path)
+        n_iters = it
+        if it >= 2:
+            _rm_frontier(os.path.join(scratch_dir, f"pr_ranks_{it - 2}.parquet"))
+        if delta <= tol:
+            break
+
+    if stats is not None:
+        stats["n_nodes"] = n
+        stats["n_iters"] = n_iters
+        stats["deltas"] = deltas
+    return prev.select("node", "rank")
 
 
 def with_cluster_sizes(labels: DataFrame) -> DataFrame:

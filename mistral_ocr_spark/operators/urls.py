@@ -99,6 +99,98 @@ def registrable_domain(host: Column) -> Column:
 
 
 
+def extract_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Outbound links per page: one row ``(url, link)`` per distinct
+    resolved ``<a href=…>`` target in the page's HTML — the edge emitter
+    under a crawl link graph (host ranking, seed discovery, spam-cluster
+    detection all start here).
+
+    Extraction contract (deterministic, regex-over-bytes — no DOM
+    library in the sandbox, and the patterns are RE2-portable so a SQL
+    engine can replay them):
+    - HTML comments are stripped first (``<!-- … -->``, dot-matches-all
+      non-greedy) so commented-out markup never emits edges;
+    - href values are taken from ``<a>`` tags only (``<link>``/
+      ``<script>`` srcs are resources, not crawl edges), double-quoted,
+      single-quoted, or unquoted, case-insensitive;
+    - resolution: absolute ``http(s)://`` kept as-is; other schemes
+      (``mailto:``, ``javascript:``) dropped; ``//host/…`` inherits the
+      page's scheme; ``/path`` joins ``scheme://host``; ``path`` joins
+      the page url's directory WITHOUT dot-segment normalization
+      (``../`` passes through literally — documented conservative);
+      empty and ``#fragment``-only hrefs dropped;
+    - fragments are stripped from resolved links (crawl identity rule,
+      same as ``canonicalize_url`` step 1) and duplicates collapse
+      per page.
+
+    Binary ``html_col`` is decoded as UTF-8 (invalid bytes →
+    replacement chars, deterministically). Pages with NULL html emit no
+    rows. Pure map-side expressions + one explode — zero shuffle; the
+    per-row memory bound is the page itself.
+    """
+    html = F.col(html_col).cast("string")
+    nocmt = F.regexp_replace(html, r"(?s)<!--.*?-->", "")
+    # (?:[^>]*?\s)? forces a whitespace boundary BEFORE 'href' so
+    # attribute names merely ending in it (data-href, ng-href,
+    # xlink:href) never emit phantom edges (r5 review)
+    hrefs = F.concat(
+        F.regexp_extract_all(nocmt, F.lit(r"(?is)<a\s(?:[^>]*?\s)?href\s*=\s*\"([^\"]*)\""), 1),
+        F.regexp_extract_all(nocmt, F.lit(r"(?is)<a\s(?:[^>]*?\s)?href\s*=\s*'([^']*)'"), 1),
+        F.regexp_extract_all(nocmt, F.lit(r"(?is)<a\s(?:[^>]*?\s)?href\s*=\s*([^\s\"'>][^\s>]*)"), 1),
+    )
+    # resolution expressions evaluate in the SECOND select, whose input
+    # schema is (url, _raw) — reference the alias, not url_col (r5
+    # review: F.col(url_col) broke every non-default column name)
+    base = F.col("url")
+    scheme = F.regexp_extract(base, r"^([a-z][a-z0-9+.\-]*):", 1)
+    root = F.regexp_extract(base, r"^([^/?#]*://[^/?#]*)", 1)
+    # page directory: authority root + path up to (and incl.) the last /
+    path = F.regexp_extract(base, r"^[^/?#]*://[^/?#]*(/[^?#]*)?", 1)
+    pdir = F.concat(root, F.regexp_replace(path, r"[^/]*$", ""))
+    pdir = F.when(F.regexp_like(pdir, F.lit(r"://[^/?#]*/")), pdir).otherwise(
+        F.concat(root, F.lit("/"))
+    )
+    link = F.col("_raw")
+    resolved = (
+        F.when(link.rlike(r"^(?i)https?://"), link)
+        .when(link.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:"), F.lit(None))
+        .when(link.startswith("//"), F.concat(scheme, F.lit(":"), link))
+        .when(link.startswith("/"), F.concat(root, link))
+        .when(link.startswith("#") | (link == ""), F.lit(None))
+        .otherwise(F.concat(pdir, link))
+    )
+    return (
+        # explode_outer, NOT explode: InferFiltersFromGenerate would turn
+        # a plain explode into an inferred size(hrefs)>0 filter that
+        # re-evaluates the whole extraction kernel a second time (the r4
+        # decontaminate lesson, 26 s → 0.7 s)
+        pages.select(F.col(url_col).alias("url"), F.explode_outer(hrefs).alias("_raw"))
+        .select("url", F.substring_index(resolved, "#", 1).alias("link"))
+        .filter(F.col("link").isNotNull() & (F.col("link") != ""))
+        .distinct()
+    )
+
+
+def host_link_graph(links: DataFrame) -> DataFrame:
+    """Collapse a page-level ``(url, link)`` edge list to the distinct
+    host-level directed graph ``(src_host, dst_host)`` — self-loops
+    (intra-host navigation, the bulk of page links) dropped, rows whose
+    url or link has no authority dropped. One distinct shuffle; the
+    input for ``graph.pagerank``."""
+    e = links.select(
+        url_host(F.col("url")).alias("src_host"),
+        url_host(F.col("link")).alias("dst_host"),
+    )
+    return e.filter(
+        (F.col("src_host") != "") & (F.col("dst_host") != "")
+        & (F.col("src_host") != F.col("dst_host"))
+    ).distinct()
+
+
 def host_cap_sample(
     df: DataFrame,
     max_per_host: int,

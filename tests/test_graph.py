@@ -7,9 +7,15 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
-from mistral_ocr_spark.operators.graph import connected_components, with_cluster_sizes
+from mistral_ocr_spark.operators.graph import (
+    connected_components,
+    pagerank,
+    with_cluster_sizes,
+)
 
 
 def _union_find(n_nodes, pairs):
@@ -127,3 +133,112 @@ def test_frontier_scratch_bounded_and_stats(spark, tmp_path):
     assert stats["n_rounds"] >= 2
     assert len(stats["edge_counts"]) == stats["n_rounds"] + 1
     assert stats["edge_counts"][0] == 40
+
+
+# --- pagerank --------------------------------------------------------------
+
+def _pr_ref(edges, n_iters, d=0.85):
+    """Dense numpy replay of the documented update (incl. dangling
+    redistribution), same iteration count as the Spark run."""
+    import numpy as np
+
+    es = set(edges)
+    nodes = sorted({u for e in es for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {v: 0 for v in nodes}
+    for s, _ in es:
+        out[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        c = np.zeros(n)
+        for s, t in es:
+            c[idx[t]] += r[idx[s]] / out[s]
+        dang = sum(r[idx[v]] for v in nodes if out[v] == 0)
+        r = (1.0 - d) / n + d * (c + dang / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+_GRAPH = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+    ("e", "d"), ("e", "a"), ("f", "sink"),  # 'sink' is dangling
+    ("a", "b"),  # duplicate edge must collapse
+]
+
+
+def _pr(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src_host", "dst_host"])
+    stats: dict = {}
+    out = pagerank(df, stats=stats, **kw)
+    return {r["node"]: r["rank"] for r in out.collect()}, stats
+
+
+def test_pagerank_matches_numpy_replay(spark):
+    got, stats = _pr(spark, _GRAPH, tol=0.0, max_iters=7)
+    assert stats["n_iters"] == 7
+    want = _pr_ref(_GRAPH, 7)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_pagerank_converges_and_ranks_sensibly(spark):
+    got, stats = _pr(spark, _GRAPH, tol=1e-12, max_iters=100)
+    assert stats["n_iters"] < 100
+    assert stats["deltas"][-1] <= 1e-12
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    # c has the most in-links (a,b,d) — it must outrank everything
+    assert got["c"] == max(got.values())
+    # f has no in-links: the (1-d)/N floor plus dangling share only
+    assert got["f"] == min(got.values())
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    got, _ = _pr(spark, cyc, tol=1e-13, max_iters=200)
+    for v, r in got.items():
+        assert r == pytest.approx(0.2, abs=1e-12)
+
+
+def test_pagerank_deterministic_across_input_partitioning(spark):
+    rnd = random.Random(11)
+    edges = list({(rnd.randrange(40), rnd.randrange(40)) for _ in range(150)})
+    a = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(edges, ["src_host", "dst_host"]).repartition(1),
+            tol=0.0, max_iters=4,
+        ).collect()
+    }
+    b = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(edges, ["src_host", "dst_host"]).repartition(16),
+            tol=0.0, max_iters=4,
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_pagerank_validation(spark):
+    df = spark.createDataFrame([("a", "b")], ["src_host", "dst_host"])
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
+    empty = spark.createDataFrame([], "src_host string, dst_host string")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(empty)
+
+
+def test_pagerank_scratch_hygiene(spark, tmp_path):
+    import os as _os
+
+    d = str(tmp_path / "pr")
+    _os.makedirs(d, exist_ok=True)
+    df = spark.createDataFrame(_GRAPH, ["src_host", "dst_host"])
+    out = pagerank(df, tol=0.0, max_iters=6, scratch_dir=d)
+    out.count()
+    ranks = [f for f in _os.listdir(d) if f.startswith("pr_ranks_")]
+    assert len(ranks) <= 2  # frontier K-2 deleted in-loop

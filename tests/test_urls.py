@@ -229,3 +229,148 @@ def test_mid_host_cap_exactness_note(spark):
         spark.createDataFrame(rows, "doc_id long, url string"), 10
     ).count()
     assert kept == 10
+
+
+# --- extract_links / host_link_graph ---------------------------------------
+
+_HREF_PATS = [
+    r"(?is)<a\s(?:[^>]*?\s)?href\s*=\s*\"([^\"]*)\"",
+    r"(?is)<a\s(?:[^>]*?\s)?href\s*=\s*'([^']*)'",
+    r"(?is)<a\s(?:[^>]*?\s)?href\s*=\s*([^\s\"'>][^\s>]*)",
+]
+
+
+def ref_links(url: str, html) -> set[str]:
+    """Independent replay of the extract_links contract (module docstring)."""
+    if html is None:
+        return set()
+    text = html.decode("utf-8", "replace") if isinstance(html, (bytes, bytearray)) else html
+    text = re.sub(r"(?s)<!--.*?-->", "", text)
+    raws = [m for pat in _HREF_PATS for m in re.findall(pat, text)]
+    scheme_m = re.match(r"^([a-z][a-z0-9+.\-]*):", url)
+    root_m = re.match(r"^([^/?#]*://[^/?#]*)", url)
+    root = root_m.group(1) if root_m else ""
+    path_m = re.match(r"^[^/?#]*://[^/?#]*(/[^?#]*)?", url)
+    path = (path_m.group(1) or "") if path_m else ""
+    pdir = root + re.sub(r"[^/]*$", "", path)
+    if not re.search(r"://[^/?#]*/", pdir):
+        pdir = root + "/"
+    out = set()
+    for link in raws:
+        if re.match(r"(?i)^https?://", link):
+            r = link
+        elif re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:", link):
+            continue
+        elif link.startswith("//"):
+            r = (scheme_m.group(1) if scheme_m else "") + ":" + link
+        elif link.startswith("/"):
+            r = root + link
+        elif link.startswith("#") or link == "":
+            continue
+        else:
+            r = pdir + link
+        r = r.split("#", 1)[0]
+        if r:
+            out.add(r)
+    return out
+
+
+_PAGES = [
+    # quoting variants + case + extra attrs
+    ("https://a.example/dir/page.html",
+     '<a href="https://b.example/x">b</a> <A CLASS=z HREF=\'https://c.example/\'>c</A> '
+     '<a id=q href=https://d.example/y>d</a>'),
+    # relative resolution: root-relative, subdir-relative, protocol-relative
+    ("https://a.example/dir/page2.html",
+     '<a href="/top">t</a><a href="sub/leaf.html">s</a><a href="//e.example/p">e</a>'),
+    # base with no path: relative joins root + /
+    ("https://bare.example",
+     '<a href="x.html">x</a><a href="/y">y</a>'),
+    # drops: other schemes, fragment-only, empty, commented-out, <link> tag
+    ("https://a.example/",
+     '<a href="mailto:a@b.c">m</a><a href="javascript:void(0)">j</a>'
+     '<a href="#frag">f</a><a href="">e</a>'
+     '<!-- <a href="https://ghost.example/">gone</a> -->'
+     '<link rel="stylesheet" href="https://cdn.example/app.css">'
+     '<a href="https://keep.example/page#sec">k</a>'),
+    # dedup within a page + uppercase scheme kept
+    ("http://dup.example/",
+     '<a href="https://t.example/1">1</a><a href="https://t.example/1">1b</a>'
+     '<a href="HTTPS://up.example/P">up</a>'),
+    # attribute names merely ENDING in href are not links (r5 review:
+    # the pattern needs a whitespace boundary before 'href')
+    ("https://ph.example/",
+     '<a data-href="https://phantom.example/">p</a>'
+     '<a ng-href="https://phantom2.example/">n</a>'
+     '<a class=x href="https://real.example/">r</a>'),
+]
+
+
+def test_extract_links_matches_reference(spark):
+    rows = [(u, h.encode()) for u, h in _PAGES]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got: dict[str, set] = {}
+    for r in U.extract_links(df).collect():
+        got.setdefault(r["url"], set()).add(r["link"])
+    want = {u: ref_links(u, h) for u, h in _PAGES}
+    want = {u: ls for u, ls in want.items() if ls}
+    assert got == want
+    # spot-check the contract, not just the replay
+    assert "https://a.example/top" in got["https://a.example/dir/page2.html"]
+    assert "https://a.example/dir/sub/leaf.html" in got["https://a.example/dir/page2.html"]
+    assert "https://e.example/p" in got["https://a.example/dir/page2.html"]
+    assert got["https://bare.example"] == {
+        "https://bare.example/x.html", "https://bare.example/y"}
+    assert got["https://a.example/"] == {"https://keep.example/page"}
+    assert got["http://dup.example/"] == {
+        "https://t.example/1", "HTTPS://up.example/P"}
+    assert got["https://ph.example/"] == {"https://real.example/"}
+
+
+def test_extract_links_custom_column_names(spark):
+    # r5 review: resolution expressions must bind to the post-select
+    # alias, not the caller's column name
+    df = spark.createDataFrame(
+        [("https://c.example/d/", b'<a href="x">x</a>')],
+        "page_url string, body binary",
+    )
+    got = {
+        (r["url"], r["link"])
+        for r in U.extract_links(df, url_col="page_url", html_col="body").collect()
+    }
+    assert got == {("https://c.example/d/", "https://c.example/d/x")}
+
+
+def test_extract_links_null_html_and_no_links(spark):
+    df = spark.createDataFrame(
+        [("https://n.example/", None), ("https://p.example/", b"<p>plain</p>")],
+        "url string, html binary",
+    )
+    assert U.extract_links(df).count() == 0
+
+
+def test_host_link_graph_edges(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://a.example/1", "https://b.example/x"),
+            ("https://a.example/2", "https://b.example/y"),   # same host pair
+            ("https://a.example/1", "https://a.example/self"),  # self-loop
+            ("https://b.example/1", "https://a.example/"),      # reverse edge
+            ("nohost", "https://b.example/"),                   # no authority
+        ],
+        "url string, link string",
+    )
+    got = {(r["src_host"], r["dst_host"]) for r in U.host_link_graph(links).collect()}
+    assert got == {("a.example", "b.example"), ("b.example", "a.example")}
+
+
+def test_extract_links_kernel_evaluates_once(spark):
+    """The href-extraction regexes must appear exactly once each in the
+    physical plan: a plain explode would let InferFiltersFromGenerate
+    clone the whole kernel into a size()>0 filter (the r4 lesson)."""
+    df = spark.createDataFrame(
+        [("https://a.example/", b'<a href="https://b.example/">x</a>')],
+        "url string, html binary",
+    )
+    plan = U.extract_links(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_extract_all") == 3, f"kernel duplicated:\n{plan[:1500]}"
