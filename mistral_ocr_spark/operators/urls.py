@@ -191,6 +191,36 @@ def host_link_graph(links: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose url's registrable domain is on a blocklist — the
+    UT1/RefinedWeb-style adult/malware/spam domain filter applied before
+    corpus assembly. ``blocked`` is a list of domain strings or a
+    one-column DataFrame. Matching is on ``registrable_domain`` so every
+    subdomain of a blocked domain is dropped too (``www.bad.example`` /
+    ``cdn.bad.example`` both fall to ``bad.example``); rows with no
+    authority pass (blocklists name domains, not url shapes).
+
+    100-TB shape: blocklists are O(10^6) rows — the join side is forced
+    ``broadcast`` so the filter is a map-side hash anti-join, zero
+    shuffle of the corpus."""
+    spark = df.sparkSession
+    if not isinstance(blocked, DataFrame):
+        blocked = spark.createDataFrame([(d,) for d in blocked], "domain string")
+    bl = blocked.select(
+        F.lower(F.col(blocked.columns[0])).alias("_bdom")
+    ).distinct()
+    dom = registrable_domain(url_host(F.col(url_col)))
+    return (
+        df.withColumn("_dom", dom)
+        .join(F.broadcast(bl), F.col("_dom") == F.col("_bdom"), "left_anti")
+        .drop("_dom")
+    )
+
+
 def host_cap_sample(
     df: DataFrame,
     max_per_host: int,

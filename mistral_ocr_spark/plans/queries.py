@@ -491,46 +491,6 @@ def tpch_q6_forecast(spark, sf_dir):
 
 
 @_q(
-    "tpch_q5_local_revenue",
-    "SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
-    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
-    "JOIN customer c ON o.o_custkey = c.c_custkey "
-    "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey "
-    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
-    "JOIN region r ON n.n_regionkey = r.r_regionkey "
-    "WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
-    "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
-    "GROUP BY n.n_name",
-)
-def tpch_q5_local_revenue(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
-    )
-
-
-@_q(
     "array_agg_parts",  # ordered collect/array aggregation per key
     "SELECT l_orderkey, string_agg(DISTINCT CAST(l_partkey AS VARCHAR), ',' "
     "ORDER BY CAST(l_partkey AS VARCHAR)) AS part_list "
@@ -1366,6 +1326,41 @@ def trainset_select(spark, sf_dir):
     )
 
 
+@_q(
+    "mix_balance",
+    # Target-distribution resampling (mixing.balance_to_target, DoReMi-style
+    # reweighting applied as selection): largest T with w_s*T <= count_s —
+    # at sf0.01 fr binds (64/0.25 is the minimum) and is kept whole while
+    # en/de hash-downsample via the portable md5 bucket. Weights 0.5/0.25
+    # are exact in binary and both engines run the identical IEEE-double
+    # fraction arithmetic, so the integer thresholds agree; replaced
+    # tpch_q5_local_revenue (the 4th TPC-H shape — join+agg verbs already
+    # covered by q1/q3/q6/join_3way_search; COVERAGE.md §cap).
+    """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents
+             WHERE lang IN ('en','de','fr') GROUP BY lang),
+w AS (SELECT 'en' AS lang, 0.5 AS wt UNION ALL SELECT 'de', 0.25
+      UNION ALL SELECT 'fr', 0.25),
+t AS (SELECT min(c.cnt / w.wt) AS tmax FROM c JOIN w USING (lang)),
+thr AS (SELECT w.lang, CAST(round(w.wt * t.tmax / c.cnt * 1000000) AS BIGINT) AS thresh
+        FROM w JOIN c USING (lang) CROSS JOIN t)
+SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE CAST(('0x' || substr(md5(d.doc_id || '-mix-v1'), 1, 8)) AS BIGINT)
+      % 1000000 < thr.thresh""",
+)
+def mix_balance(spark, sf_dir):
+    from mistral_ocr_spark.operators import mixing as MX
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return MX.balance_to_target(
+        d,
+        "lang",
+        {"en": 0.5, "de": 0.25, "fr": 0.25},
+        "doc_id",
+        salt="mix-v1",
+        hash="md5",
+    )
+
+
 # ===========================================================================
 # Similarity search
 # ===========================================================================
@@ -1591,6 +1586,7 @@ _ORDER = [
     "dsir_select",
     "bm25_search",
     "line_dedup",
+    "mix_balance",
     "ann_ivf_topk",
     "decontaminate",
     "range_join_clicks",
@@ -1627,7 +1623,6 @@ _ORDER = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q6_forecast",
-    "tpch_q5_local_revenue",
     "array_agg_parts",
     "set_except",
     "rollup_returns",

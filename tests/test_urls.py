@@ -374,3 +374,30 @@ def test_extract_links_kernel_evaluates_once(spark):
     )
     plan = U.extract_links(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("regexp_extract_all") == 3, f"kernel duplicated:\n{plan[:1500]}"
+
+
+def test_filter_blocked_domains(spark):
+    rows = [
+        (0, "https://www.bad.example/p"),       # subdomain of blocked
+        (1, "https://cdn.sub.bad.example/x"),   # deeper subdomain
+        (2, "https://goodbad.example/x"),       # name suffix, different domain
+        (3, "https://bad.example.au/x"),        # different TLD
+        (4, "https://EVIL.co.uk/x"),            # case-folded, multi-part TLD
+        (5, "https://fine.example/x"),
+        (6, "no-authority-url"),                # '' domain passes
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {
+        r["doc_id"]
+        for r in U.filter_blocked_domains(
+            df, ["bad.example", "Evil.co.uk"]
+        ).collect()
+    }
+    assert kept == {2, 3, 5, 6, 7}
+    # DataFrame blocklist form + plan stays a broadcast anti-join
+    bl = spark.createDataFrame([("bad.example",)], "domain string")
+    out = U.filter_blocked_domains(df, bl)
+    assert {r["doc_id"] for r in out.collect()} == {2, 3, 4, 5, 6, 7}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:800]
