@@ -47,8 +47,9 @@ def gram_bucket(gram: Column, n_buckets: int, salt: str) -> Column:
     """Portable bucket in [0, n_buckets): first 8 md5 hex digits of
     ``gram|salt`` mod n_buckets (the `sampling.py` md5-mode arithmetic —
     byte-identical in any engine with md5 + hex parsing)."""
-    h = F.md5(F.concat(gram, F.lit(f"|{salt}")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(n_buckets)
+    from mistral_ocr_spark.operators.sampling import md5_prefix_long
+
+    return md5_prefix_long(gram, salt, 8, sep="|") % F.lit(n_buckets)
 
 
 def words_expr(text_col: Column) -> Column:
@@ -184,8 +185,9 @@ def gumbel_noise(key: Column, salt: str) -> Column:
     every engine, every run — the Gumbel-max trick (adding g to log-weights
     and taking top-k samples k items without replacement ∝ softmax(logw))
     without RNG state."""
-    h = F.md5(F.concat(key.cast("string"), F.lit(f"|{salt}")))
-    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(0.5)) / F.lit(
+    from mistral_ocr_spark.operators.sampling import md5_prefix_long
+
+    u = (md5_prefix_long(key, salt, 8, sep="|").cast("double") + F.lit(0.5)) / F.lit(
         float(_HASH_DENOM)
     )
     return -F.log(-F.log(u))

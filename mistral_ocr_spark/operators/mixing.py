@@ -76,6 +76,73 @@ def balance_to_target(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the last
+    assembly step before a pretraining dataloader: adds ``shard``
+    (``int`` in [0, n_shards)) and ``sort_key`` (the shuffle order
+    within the shard). ``(shard, sort_key, key)`` orders the corpus as a
+    pseudorandom permutation that is stable across runs, parallelism,
+    row additions to OTHER shards, and engines — the properties
+    ``df.orderBy(rand())`` has none of.
+
+    The hash is the shared portable rule (``sampling.md5_prefix_long``):
+    the first 15 hex digits of ``md5(key || '-' || salt)`` as a 60-bit
+    integer; ``shard = h % n_shards``, ``sort_key = h``. Any engine can
+    replay membership and order from the same string ops. NULL keys hash
+    under the ``''`` pseudo-key (all land in one deterministic shard —
+    never a NULL shard that a dataloader streaming ``shard=0..n-1``
+    would silently skip; the ``host_cap_sample`` NULL rule). Pure
+    map-side expressions — zero shuffle; the shuffle happens once, in
+    ``write_shards``."""
+    from mistral_ocr_spark.operators.sampling import md5_prefix_long
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    h = md5_prefix_long(key, salt, 15)
+    return df.withColumn("sort_key", h).withColumn(
+        "shard", (F.col("sort_key") % n_shards).cast("int")
+    )
+
+
+def write_shards(
+    sharded: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+) -> None:
+    """Write a ``shuffle_shards`` result as one ordered parquet file per
+    shard under ``path/shard=K/``. All rows of a shard hash to ONE task
+    (``repartition(n_shards, shard)`` — the explicit count matters: the
+    bare column form caps parallelism at ``spark.sql.shuffle.partitions``
+    and would pile ~n_shards/200 shards onto each task at scale, r5
+    review), and ``sortWithinPartitions(shard, sort_key, key)`` orders
+    them before the write — the ``key_col`` tiebreak keeps the file
+    byte-stable even when two keys collide on the 60-bit hash (expected
+    ~20 collisions at 10^10 docs; without it their relative order would
+    be shuffle-arrival order). A dataloader streaming
+    ``shard=K/part-*.parquet`` replays the global permutation.
+
+    Scale contract: a shard is written by a single task, so ``n_shards``
+    is the write parallelism AND the per-task size bound — at 100 TB
+    pick n_shards so a shard is ~1 GB (10^5 shards), not 10 shards of
+    10 TB. One corpus shuffle total."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "sort_key", key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def select_until_budget(
     df: DataFrame,
     budget: int,

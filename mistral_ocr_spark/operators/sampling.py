@@ -20,8 +20,23 @@ this is training-data-pipeline breadth (the brief's 100-TB pipeline ops).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def md5_prefix_long(key: Column, salt: str, n_hex: int = 8, sep: str = "-") -> Column:
+    """THE portable-hash convention, shared by every deterministic
+    membership/order rule in the repo (``_bucket`` splits, DSIR buckets
+    and Gumbel draws, shard assignment): the first ``n_hex`` hex digits
+    of ``md5(key || sep || salt)`` as a LONG — byte-identical arithmetic
+    in any engine with md5 + hex parsing (DuckDB:
+    ``CAST(('0x' || substr(md5(k || '{sep}{salt}'), 1, n)) AS BIGINT)``).
+    ``n_hex <= 15`` keeps the value under 2^60, signed-long safe. NULL
+    keys hash to NULL (callers choose their own NULL policy)."""
+    if not 1 <= n_hex <= 15:
+        raise ValueError(f"n_hex must be in [1, 15], got {n_hex}")
+    h = F.md5(F.concat(key.cast("string"), F.lit(f"{sep}{salt}")))
+    return F.conv(F.substring(h, 1, n_hex), 16, 10).cast("long")
 
 _DENOM = 1_000_000  # hash buckets; fraction resolution 1e-6
 
@@ -33,8 +48,7 @@ def _bucket(key_col: str, salt: str, hash: str = "xxhash64"):
     any ANSI SQL engine (DuckDB: CAST('0x'||substr(md5(..),1,8) AS BIGINT)),
     so md5-mode splits are value-oracle-checkable cross-engine."""
     if hash == "md5":
-        h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"-{salt}")))
-        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(_DENOM)
+        return md5_prefix_long(F.col(key_col), salt, 8) % F.lit(_DENOM)
     return F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(_DENOM))
 
 

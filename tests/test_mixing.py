@@ -150,3 +150,45 @@ def test_budget_deterministic_across_parallelism(spark):
         for r in MX.select_until_budget(df, 2500, partitions=16).collect()
     }
     assert a == b
+
+
+# --- shuffle_shards / write_shards -----------------------------------------
+
+def _h60(key, salt="s-v1"):
+    return int(hashlib.md5(f"{key}-{salt}".encode()).hexdigest()[:15], 16)
+
+
+def test_shuffle_shards_matches_replay(spark):
+    rows = [(i, f"t{i}") for i in range(500)]
+    df = spark.createDataFrame(rows + [(None, "null-key")], "doc_id long, text string")
+    got = {
+        r["text"]: (r["shard"], r["sort_key"])
+        for r in MX.shuffle_shards(df, 8, salt="s-v1").collect()
+    }
+    for i, t in rows:
+        assert got[t] == (_h60(i) % 8, _h60(i))
+    # NULL key hashes under the '' pseudo-key — a real shard, never NULL
+    assert got["null-key"] == (_h60("") % 8, _h60(""))
+    with pytest.raises(ValueError):
+        MX.shuffle_shards(df, 0)
+
+
+def test_write_shards_one_ordered_file_per_shard(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = [(i, f"t{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    p = str(tmp_path / "shards")
+    MX.write_shards(MX.shuffle_shards(df, 8, salt="s-v1"), p, 8)
+    seen = set()
+    for k in range(8):
+        files = glob.glob(f"{p}/shard={k}/*.parquet")
+        assert len(files) == 1, f"shard {k}: {files}"  # one task per shard
+        t = pq.read_table(files[0])
+        keys = t.column("sort_key").to_pylist()
+        assert keys == sorted(keys)  # exact sort_key order within the file
+        assert all(h % 8 == k for h in keys)
+        seen.update(t.column("doc_id").to_pylist())
+    assert seen == {i for i, _ in rows}  # nothing lost, nothing duplicated
