@@ -83,3 +83,63 @@ def test_spark_submit_pyfiles():
         assert stats["docs"] == 300 and stats["chunks_done"] == 2
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_spark_submit_two_size_scaling(spark, tmp_path):
+    """The north rule's full deployment sentence in one test: the SAME
+    job shipped via ``--py-files engine.zip``, run at two cluster sizes
+    (local[4] and local[16]), throughput reported at both. The assert is
+    a lenient smoke floor — pytest runs in a contended environment; the
+    driver-grade ≥0.8 measurement (warm cache, best-of-N, same-window
+    ceiling probes) is bench.py::_run_scaling's job."""
+    spark_submit = _find_spark_submit()
+    if spark_submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not found")
+    from mistral_ocr_spark.sources.fixtures import generate_pages
+
+    tmp = str(tmp_path)
+    pages = os.path.join(tmp, "pages")
+    generate_pages(spark, 150_000, partitions=16).write.mode("overwrite").parquet(pages)
+    zip_path = _zip_engine(tmp)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+    results = {}
+    for cores, par in ((4, 8), (16, 32)):
+        out = subprocess.run(
+            [
+                spark_submit,
+                "--master",
+                f"local[{cores}]",
+                "--conf",
+                "spark.sql.shuffle.partitions=32",
+                "--conf",
+                "spark.ui.enabled=false",
+                "--py-files",
+                zip_path,
+                os.path.join(REPO, "scripts", "scaling_job.py"),
+                "--pages",
+                pages,
+                "--out",
+                os.path.join(tmp, f"out{cores}"),
+                "--parallelism",
+                str(par),
+                "--repeats",
+                "2",
+            ],
+            cwd=tmp,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=420,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    assert results[4]["docs"] == results[16]["docs"] == 150_000
+    dps4, dps16 = results[4]["docs_per_sec"], results[16]["docs_per_sec"]
+    eff = dps16 / (4 * dps4)
+    print(f"ship-path scaling: {dps4} -> {dps16} docs/s, efficiency {eff:.3f}")
+    assert dps16 > dps4, (dps4, dps16)  # more executors must help
+    assert eff > 0.35, f"ship-path efficiency collapsed: {eff:.3f}"
