@@ -397,6 +397,7 @@ def main() -> None:
             # query); bm25_adhoc is the one-off tier on the same terms.
             from pyspark.sql import functions as F
 
+            from mistral_ocr_spark.operators import bloom as BLOOM
             from mistral_ocr_spark.operators import dedup as D
             from mistral_ocr_spark.operators import graph as G
             from mistral_ocr_spark.operators import sketches as K
@@ -543,6 +544,18 @@ def main() -> None:
                     docs, 1_000_000, score_col="n_chars", cost_col="n_chars"
                 ),
                 "bpe_encode": lambda: TK.bpe_encode(docs, bpe_merges),
+                # Bloom incremental dedup end-to-end over the 200k-page
+                # corpus: the timed span includes the one-scan bitmap
+                # build (the operator's whole point — corpus scanned once,
+                # increment never shuffles outside the candidate sliver)
+                "bloom_dedup": lambda: BLOOM.bloom_dedup_increment(
+                    spark.read.parquet(pages_path)
+                    .filter(F.pmod(F.xxhash64("url"), F.lit(3)) != 0)
+                    .select("url"),
+                    spark.read.parquet(pages_path).select("url", "warc_ts"),
+                    "url",
+                    expected_items=N_PAGES,
+                ),
                 "warc_parse": lambda: WARC.warc_to_pages(WARC.read_warc(warc_blobs)),
                 # link-graph edge emitter over the full bench corpus
                 # (fixture links are same-host, so the pagerank graph
