@@ -113,11 +113,24 @@ def _bitmap_fold_fn(n_bits: int, n_hashes: int, h1_col: str, h2_col: str):
             # so the columns arrive as exact int64, never float64
             h1 = pdf[h1_col].to_numpy(dtype=np.int64).view(np.uint64)
             h2 = pdf[h2_col].to_numpy(dtype=np.int64).view(np.uint64)
-            for i in range(n_hashes):
-                # uint64 wrap-around is deterministic and identical on the
-                # probe side, so (h1 + i*h2) mod n_bits is consistent
-                pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
-                np.bitwise_or.at(bm, pos >> np.uint64(3), np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+            # all k positions for the batch at once; uint64 wrap-around is
+            # deterministic and identical on the probe side, so
+            # (h1 + i*h2) mod n_bits is consistent between build and probe
+            i = np.arange(n_hashes, dtype=np.uint64)[:, None]
+            pos = (h1[None, :] + i * h2[None, :]) % np.uint64(n_bits)
+            # scatter-OR without ufunc.at (element-wise scalar loop,
+            # 10-100x slower than buffered kernels — review finding):
+            # after unique(), every (byte, bit) pair appears once, so the
+            # per-byte OR equals the per-byte SUM and bincount computes it
+            # in one vectorized pass (max sum per byte = 255, exact in the
+            # float64 weights)
+            upos = np.unique(pos)
+            bits = (np.uint8(1) << (upos & np.uint64(7)).astype(np.uint8))
+            bm |= np.bincount(
+                (upos >> np.uint64(3)).astype(np.int64),
+                weights=bits,
+                minlength=n_bits // 8,
+            ).astype(np.uint8)
         if touched:
             yield pd.DataFrame({"bitmap": [bm.tobytes()]})
 
@@ -183,11 +196,21 @@ def probe_might_contain(
 ) -> DataFrame:
     """``df`` + a boolean ``flag_col``: True iff the filter MIGHT contain
     the row's key (NULL keys → False, see module contract). The bitmap
-    ships to executors once via a SparkContext broadcast (not re-pickled
-    into every task closure); the probe itself is a vectorized numpy
-    gather per Arrow batch."""
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(bloom.bitmap)
+    rides in the kernel's closure: pyspark serializes the function once
+    per JOB and ships oversized commands through an internally-managed
+    broadcast that the ContextCleaner releases when the plan is dropped —
+    unlike an explicit ``sc.broadcast``, which this function cannot
+    unpersist (it returns a lazy DataFrame) and which would accumulate a
+    bitmap-sized blob per call in a long-lived session (review finding).
+    The probe itself is a vectorized numpy gather per Arrow batch."""
+    reserved = {"_bknull", "_bh1", "_bh2", flag_col}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"probe_might_contain: input columns collide with helper/flag "
+            f"names {sorted(clash)}; rename them or pass a different flag_col"
+        )
+    bitmap_bytes = bloom.bitmap
     n_bits, n_hashes = bloom.n_bits, bloom.n_hashes
     # xxhash64 never emits NULL (a NULL key hashes to the seed constant),
     # so the hash cols cross to pandas as exact int64; NULL-key rows are
@@ -205,7 +228,7 @@ def probe_might_contain(
     def fn(batches):
         import numpy as np
 
-        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        bm = np.frombuffer(bitmap_bytes, dtype=np.uint8)
         for pdf in batches:
             flags = np.zeros(len(pdf), dtype=bool)
             valid = ~pdf["_bknull"].to_numpy(dtype=bool)
@@ -236,6 +259,7 @@ def bloom_dedup_increment(
     fpp: float = 0.01,
     exact_verify: bool = True,
     merge_groups: int = 0,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Rows of ``increment`` whose ``key_col`` is NOT in ``corpus``.
 
@@ -253,14 +277,37 @@ def bloom_dedup_increment(
       mode when the increment is huge and a small recall loss is cheaper
       than the join.
     """
+    # the Bloom guarantee is BINARY xxhash64 equality, but a join coerces
+    # differing key types to a common one ('5' matches 5L) — a coercible
+    # mismatch would route true duplicates into definite_new (their hashes
+    # differ) and silently break the anti-join equality, so refuse it
+    ct = corpus.schema[key_col].dataType
+    it = increment.schema[key_col].dataType
+    if ct != it:
+        raise ValueError(
+            f"bloom_dedup_increment: key dtype mismatch — corpus {ct} vs "
+            f"increment {it}; cast one side so hash and join equality agree"
+        )
     bloom = build_bloom(
         corpus.select(key_col), key_col,
         expected_items=expected_items, fpp=fpp, merge_groups=merge_groups,
     )
     flagged = probe_might_contain(increment, bloom, key_col, flag_col="_mc")
-    definite_new = flagged.filter(~F.col("_mc")).drop("_mc")
     if not exact_verify:
-        return definite_new
+        # single-branch plan: the one probe pass feeds the one filter
+        return flagged.filter(~F.col("_mc")).drop("_mc")
+    # exact mode branches the probe output twice (new-rows filter + the
+    # candidate verify join); materialize it once so a nondeterministic
+    # increment source can't flag a row differently per branch (losing or
+    # duplicating it) and the probe kernel runs once, not per branch —
+    # the corpus.py join-hub rule
+    from mistral_ocr_spark.operators.dedup import scratch_table_dir
+
+    spark = increment.sparkSession
+    path = f"{(scratch_dir or scratch_table_dir(spark)).rstrip('/')}/bloom_flagged"
+    flagged.write.mode("overwrite").parquet(path)
+    flagged = spark.read.parquet(path)
+    definite_new = flagged.filter(~F.col("_mc")).drop("_mc")
     candidates = flagged.filter(F.col("_mc")).drop("_mc")
     fp_survivors = candidates.join(corpus.select(key_col), on=key_col, how="left_anti")
     # column order differs after join-on-key reorders key_col first

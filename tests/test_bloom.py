@@ -116,6 +116,24 @@ def test_bitmap_parallelism_and_merge_tree_invariant(spark):
     assert len(blooms[0].bitmap) == blooms[0].n_bits // 8
 
 
+def test_key_dtype_mismatch_raises(spark):
+    # a coercible mismatch ('5' joins 5L but hashes differently) would
+    # silently break the anti-join equality — must refuse up front
+    corpus = spark.range(10).select(F.col("id").alias("k"))
+    increment = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        bloom_dedup_increment(corpus, increment, "k", expected_items=10)
+
+
+def test_helper_column_collision_raises(spark):
+    df = spark.range(5).select(F.col("id").cast("string").alias("k"))
+    bloom = build_bloom(df, "k", expected_items=5)
+    with pytest.raises(ValueError, match="collide"):
+        probe_might_contain(df.withColumn("_bh1", F.lit(1)), bloom, "k")
+    with pytest.raises(ValueError, match="collide"):
+        probe_might_contain(df.withColumn("hit", F.lit(True)), bloom, "k", flag_col="hit")
+
+
 def test_probe_preserves_rows_and_schema(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     bloom = build_bloom(docs.limit(100), "text", expected_items=100)
