@@ -15,7 +15,10 @@ Reference: submit / status / results / search / list / files
 Beyond the reference's verbs: ``export`` (download tree), ``cancel``
 (cooperative, chunk-boundary), ``compact`` (bin-pack data files),
 ``snapshots`` (history), ``expire`` (snapshot expiry + orphan-file
-removal), ``results --as-of`` (time travel).
+removal), ``results --as-of`` (time travel), ``neardup-index`` /
+``neardup`` (persisted MinHash index + incremental near-dup pairs over
+extracted text), ``lm-train`` / ``lm-score`` (CCNet-style bigram-LM
+perplexity triage of extracted text).
 
 Usage: python -m mistral_ocr_spark.cli <verb> [...]
 """
@@ -233,6 +236,106 @@ def cmd_files(args) -> int:
     return 0
 
 
+def cmd_neardup_index(args) -> int:
+    """Build the persisted MinHash near-dup index over a table's extracted
+    text (the query-many tier — operators/dedup.py::minhash_index). Keyed
+    by ``xxhash64(url)`` — the corpus-pipeline doc_id convention (urls are
+    unique by the upsert contract, so the hash key is too up to the
+    documented 64-bit collision odds)."""
+    from mistral_ocr_spark.operators.dedup import minhash_index
+
+    spark = get_spark(app_name="ocr-neardup-index")
+    ext = (
+        catalog.read_extracted_latest(spark, args.table)
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(F.xxhash64("url").alias("doc_id"), "text")
+    )
+    minhash_index(
+        ext, args.index,
+        num_hashes=args.num_hashes, bands=args.bands,
+    )
+    print(json.dumps({
+        "index_dir": args.index, "docs": ext.count(),
+        "num_hashes": args.num_hashes, "bands": args.bands,
+    }))
+    return 0
+
+
+def cmd_neardup(args) -> int:
+    """Near-duplicate pairs involving THIS table's docs, against a
+    ``neardup-index`` built earlier (possibly from another table): the
+    incremental tier — only this table's text is shingled/signed; the
+    indexed corpus contributes its persisted tables."""
+    from mistral_ocr_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    spark = get_spark(app_name="ocr-neardup")
+    ext = (
+        catalog.read_extracted_latest(spark, args.table)
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(F.xxhash64("url").alias("doc_id"), "url", "text")
+    )
+    pairs = minhash_lsh_pairs_incremental(
+        ext.select("doc_id", "text"), args.index, threshold=args.threshold,
+        include_new_new=not args.no_new_new,
+    )
+    # map THIS table's ids back to urls for display; ids only in the
+    # indexed corpus (built from another table) stay numeric
+    urls = ext.select("doc_id", "url")
+    shown = (
+        pairs.join(urls.withColumnsRenamed({"doc_id": "id_a", "url": "url_a"}), "id_a", "left")
+        .join(urls.withColumnsRenamed({"doc_id": "id_b", "url": "url_b"}), "id_b", "left")
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(args.limit)
+        .collect()
+    )
+    for r in shown:
+        print(json.dumps({
+            "a": r.url_a if r.url_a is not None else r.id_a,
+            "b": r.url_b if r.url_b is not None else r.id_b,
+            "jaccard": r.jaccard,
+        }))
+    print(json.dumps({"pairs_shown": len(shown), "threshold": args.threshold}))
+    return 0
+
+
+def cmd_lm_train(args) -> int:
+    """Train + persist the count-based bigram LM over a table's extracted
+    text (textstats.ngram_lm_train) for CCNet-style perplexity scoring."""
+    from mistral_ocr_spark.operators.textstats import ngram_lm_train
+
+    spark = get_spark(app_name="ocr-lm-train")
+    ext = (
+        catalog.read_extracted_latest(spark, args.table)
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("url", "text")
+    )
+    ngram_lm_train(ext, args.lm, id_col="url", min_count=args.min_count)
+    stats = spark.read.parquet(f"{args.lm}/stats").collect()[0]
+    print(json.dumps({
+        "lm_dir": args.lm,
+        "n_tokens": int(stats.n_tokens),
+        "vocab_size": int(stats.vocab_size),
+    }))
+    return 0
+
+
+def cmd_lm_score(args) -> int:
+    """Per-document perplexity against a ``lm-train`` model, worst (most
+    gibberish-like) first — the CCNet head/middle/tail triage view."""
+    from mistral_ocr_spark.operators.textstats import lm_perplexity
+
+    spark = get_spark(app_name="ocr-lm-score")
+    ext = catalog.read_extracted_latest(spark, args.table).select("url", "text")
+    scored = lm_perplexity(ext, args.lm, id_col="url")
+    if args.max_ppl is not None:
+        scored = scored.filter(F.col("ppl") > args.max_ppl)
+    rows = scored.orderBy(F.desc("ppl"), "url").limit(args.limit).collect()
+    for r in rows:
+        print(json.dumps({"url": r.url, "ppl": r.ppl, "n_tokens": r.n_tokens}))
+    print(json.dumps({"shown": len(rows), "over_max_ppl": args.max_ppl}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mistral-ocr-spark")
     sub = p.add_subparsers(dest="verb", required=True)
@@ -304,6 +407,35 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--dest", required=True)
     s.add_argument("--limit", type=int, default=1000)
     s.set_defaults(func=cmd_export)
+
+    s = sub.add_parser("neardup-index", help="build the persisted MinHash near-dup index")
+    s.add_argument("--table", required=True)
+    s.add_argument("--index", required=True)
+    s.add_argument("--num-hashes", type=int, default=64)
+    s.add_argument("--bands", type=int, default=32)
+    s.set_defaults(func=cmd_neardup_index)
+
+    s = sub.add_parser("neardup", help="near-dup pairs vs a neardup-index (incremental tier)")
+    s.add_argument("--table", required=True)
+    s.add_argument("--index", required=True)
+    s.add_argument("--threshold", type=float, default=0.8)
+    s.add_argument("--limit", type=int, default=50)
+    s.add_argument("--no-new-new", action="store_true",
+                   help="only pairs against the indexed corpus, not within this table")
+    s.set_defaults(func=cmd_neardup)
+
+    s = sub.add_parser("lm-train", help="train + persist the bigram LM over extracted text")
+    s.add_argument("--table", required=True)
+    s.add_argument("--lm", required=True)
+    s.add_argument("--min-count", type=int, default=1)
+    s.set_defaults(func=cmd_lm_train)
+
+    s = sub.add_parser("lm-score", help="per-doc perplexity vs an lm-train model, worst first")
+    s.add_argument("--table", required=True)
+    s.add_argument("--lm", required=True)
+    s.add_argument("--max-ppl", type=float, default=None)
+    s.add_argument("--limit", type=int, default=20)
+    s.set_defaults(func=cmd_lm_score)
 
     args = p.parse_args(argv)
     return args.func(args)

@@ -141,3 +141,44 @@ def test_cli_snapshots_expire_and_time_travel(table, capsys):
     res = json.loads(capsys.readouterr().out.strip())
     assert res["expired_snapshots"] == 2 and res["retained"] == 1
     assert catalog.read_extracted_latest(spark, tbl).count() == 150
+
+
+def test_cli_neardup_and_lm_verbs(table, capsys):
+    """Round-5 surface: neardup-index / neardup (persisted MinHash tier)
+    and lm-train / lm-score (CCNet perplexity triage) over a real table."""
+    tbl, root = table
+    assert cli.main(["submit", "--table", tbl, "--generate", "300", "--chunks", "1"]) == 0
+    capsys.readouterr()
+
+    idx = f"{root}/ndidx"
+    assert cli.main([
+        "neardup-index", "--table", tbl, "--index", idx,
+        "--num-hashes", "32", "--bands", "16",
+    ]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["docs"] > 0 and meta["bands"] == 16
+    assert os.path.isdir(f"{idx}/meta") and os.path.isdir(f"{idx}/buckets")
+
+    # the same table queried against its own index: exit 0, parseable
+    # output, and every reported pair is a genuine >=threshold match with
+    # distinct members (self-pairs excluded by the id_a < id_b canon)
+    assert cli.main([
+        "neardup", "--table", tbl, "--index", idx, "--threshold", "0.9", "--limit", "5",
+    ]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(lines[-1])
+    assert summary["threshold"] == 0.9
+    for rec in (json.loads(x) for x in lines[:-1]):
+        assert rec["a"] != rec["b"] and rec["jaccard"] >= 0.9
+
+    lm = f"{root}/lm"
+    assert cli.main(["lm-train", "--table", tbl, "--lm", lm, "--min-count", "2"]) == 0
+    tmeta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert tmeta["n_tokens"] > 0 and tmeta["vocab_size"] > 0
+
+    assert cli.main(["lm-score", "--table", tbl, "--lm", lm, "--limit", "5"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    recs = [json.loads(x) for x in lines]
+    assert recs[-1]["shown"] == len(recs) - 1 > 0
+    ppls = [r["ppl"] for r in recs[:-1]]
+    assert ppls == sorted(ppls, reverse=True)  # worst (gibberish) first
