@@ -563,6 +563,13 @@ def main() -> None:
                 "extract_links": lambda: UU.extract_links(
                     spark.read.parquet(pages_path)
                 ),
+                # rel=canonical identity dedup over the full bench corpus:
+                # times the directive regex kernels + the dedup window
+                # (fixture pages declare no canonicals, so groups are the
+                # url-trivia collapses — the kernel cost is what's timed)
+                "canonical_dedup": lambda: UU.canonical_dedup(
+                    spark.read.parquet(pages_path).select("url", "html")
+                ),
                 # host-authority power iteration: deterministic synthetic
                 # 200k-edge / 20k-node graph; tol=0 so it always runs
                 # exactly 8 rounds (fixed workload, no early stop)

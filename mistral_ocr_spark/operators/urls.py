@@ -99,6 +99,32 @@ def registrable_domain(host: Column) -> Column:
 
 
 
+def _resolve_href(base: Column, link: Column) -> Column:
+    """Resolve an href value against its page url — the shared resolution
+    contract of ``extract_links`` and ``page_directives``: absolute
+    ``http(s)://`` kept; other schemes (mailto:, javascript:) → NULL;
+    ``//host/…`` inherits the page's scheme; ``/path`` joins
+    ``scheme://host``; relative ``path`` joins the page's directory
+    WITHOUT dot-segment normalization (``../`` passes through literally —
+    documented conservative); empty / ``#fragment``-only → NULL."""
+    scheme = F.regexp_extract(base, r"^([a-z][a-z0-9+.\-]*):", 1)
+    root = F.regexp_extract(base, r"^([^/?#]*://[^/?#]*)", 1)
+    # page directory: authority root + path up to (and incl.) the last /
+    path = F.regexp_extract(base, r"^[^/?#]*://[^/?#]*(/[^?#]*)?", 1)
+    pdir = F.concat(root, F.regexp_replace(path, r"[^/]*$", ""))
+    pdir = F.when(F.regexp_like(pdir, F.lit(r"://[^/?#]*/")), pdir).otherwise(
+        F.concat(root, F.lit("/"))
+    )
+    return (
+        F.when(link.rlike(r"^(?i)https?://"), link)
+        .when(link.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:"), F.lit(None))
+        .when(link.startswith("//"), F.concat(scheme, F.lit(":"), link))
+        .when(link.startswith("/"), F.concat(root, link))
+        .when(link.startswith("#") | (link == ""), F.lit(None))
+        .otherwise(F.concat(pdir, link))
+    )
+
+
 def extract_links(
     pages: DataFrame,
     url_col: str = "url",
@@ -145,24 +171,7 @@ def extract_links(
     # resolution expressions evaluate in the SECOND select, whose input
     # schema is (url, _raw) — reference the alias, not url_col (r5
     # review: F.col(url_col) broke every non-default column name)
-    base = F.col("url")
-    scheme = F.regexp_extract(base, r"^([a-z][a-z0-9+.\-]*):", 1)
-    root = F.regexp_extract(base, r"^([^/?#]*://[^/?#]*)", 1)
-    # page directory: authority root + path up to (and incl.) the last /
-    path = F.regexp_extract(base, r"^[^/?#]*://[^/?#]*(/[^?#]*)?", 1)
-    pdir = F.concat(root, F.regexp_replace(path, r"[^/]*$", ""))
-    pdir = F.when(F.regexp_like(pdir, F.lit(r"://[^/?#]*/")), pdir).otherwise(
-        F.concat(root, F.lit("/"))
-    )
-    link = F.col("_raw")
-    resolved = (
-        F.when(link.rlike(r"^(?i)https?://"), link)
-        .when(link.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:"), F.lit(None))
-        .when(link.startswith("//"), F.concat(scheme, F.lit(":"), link))
-        .when(link.startswith("/"), F.concat(root, link))
-        .when(link.startswith("#") | (link == ""), F.lit(None))
-        .otherwise(F.concat(pdir, link))
-    )
+    resolved = _resolve_href(F.col("url"), F.col("_raw"))
     return (
         # explode_outer, NOT explode: InferFiltersFromGenerate would turn
         # a plain explode into an inferred size(hrefs)>0 filter that
@@ -282,4 +291,164 @@ def host_cap_sample(
         survivors.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_per_host)
         .drop("_host", "_hc", "_b", "_rn")
+    )
+
+
+def with_page_directives(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """``pages`` + per-page indexing directives appended map-side:
+    ``canonical`` (resolved url or NULL), ``noindex``, ``nofollow`` — the
+    signals a crawl corpus must honor before training on a page (the
+    site's declared duplicate identity and its do-not-index opt-out).
+
+    Contract (deterministic regex-over-markup, same grounds as
+    ``extract_links``: no DOM library in the sandbox, RE2-portable):
+    - HTML comments are stripped first, so commented-out directives are
+      ignored;
+    - ``canonical`` = the href of the FIRST ``<link … rel="canonical" …>``
+      tag (either attribute order, any quote style on both attributes,
+      bare ``rel=canonical`` token only — a multi-token ``rel`` list is
+      not matched, documented conservative), resolved against the page
+      url by the shared ``_resolve_href`` contract and fragment-stripped;
+      NULL when absent or unresolvable (e.g. a ``mailto:`` href);
+    - ``noindex`` / ``nofollow`` = true iff ANY ``<meta … name="robots"
+      …>`` tag carries the whole-word token anywhere in the same tag
+      (approximating "in its content attribute" — a robots meta tag has
+      no other free-text attribute in practice; documented);
+    - NULL html → (NULL, false, false): no markup, no directives.
+
+    Two chained selects so the tag-extraction kernel lands in a real
+    column before the resolution whens reference it (no CSE inside
+    expression trees — the r2 lesson); still one stage, zero shuffle.
+    """
+    reserved = {"_pd_nocmt", "_pd_ctag", "_pd_raw", "canonical", "noindex", "nofollow"}
+    clash = reserved & set(pages.columns)
+    if clash:
+        raise ValueError(
+            f"with_page_directives: input columns collide with output/helper "
+            f"names {sorted(clash)}"
+        )
+    # Each expensive kernel lands in a REAL column before anything
+    # references it more than once: there is no CSE inside a projection's
+    # expression tree (the r2 shingle lesson), and CollapseProject leaves
+    # non-cheap aliases in their own Project when they are multiply
+    # referenced — so the comment-strip regex runs once per row, not once
+    # per downstream regex (plan-asserted in tests).
+    html = F.col(html_col).cast("string")
+    s0 = pages.select(
+        "*", F.regexp_replace(html, r"(?s)<!--.*?-->", "").alias("_pd_nocmt")
+    )
+    nocmt = F.col("_pd_nocmt")
+    # the first <link> tag carrying a bare rel=canonical token, attribute
+    # order free ([^>]*? before rel covers href-first markup); the value
+    # may be quoted either way or a bare token ending at whitespace/>
+    ctag = F.regexp_extract(
+        nocmt,
+        r"(?is)<link\s[^>]*?rel\s*=\s*(\"canonical\"|'canonical'|canonical[\s/>])[^>]*>",
+        0,
+    )
+
+    def _robots_flag(token: str) -> Column:
+        # name=robots and the token inside ONE tag, either order. The
+        # token's right boundary is an explicit non-word-char-or-tag-end
+        # alternation (([^\w-][^>]*)?>) — 'noindexed'/'noindex-x' never
+        # match, and a lookahead boundary is unavailable (lookarounds are
+        # banned for RE2 portability, the redact_pii rule)
+        fwd = rf"(?is)<meta\s[^>]*?name\s*=\s*[\"']?robots[\"']?[^>]*?{token}([^\w-][^>]*)?>"
+        bwd = rf"(?is)<meta\s[^>]*?{token}[^\w-][^>]*?name\s*=\s*[\"']?robots[\"']?[^>]*>"
+        return F.coalesce(
+            F.regexp_like(nocmt, F.lit(fwd)) | F.regexp_like(nocmt, F.lit(bwd)),
+            F.lit(False),
+        )
+
+    s1 = s0.select(
+        "*",
+        ctag.alias("_pd_ctag"),
+        _robots_flag("noindex").alias("noindex"),
+        _robots_flag("nofollow").alias("nofollow"),
+    )
+    # href out of the (short) tag string: the extracts reference the
+    # _pd_ctag COLUMN, so their duplication across the whens is regex
+    # over a tag-sized string, not the page
+    tag = F.col("_pd_ctag")
+    raw = (
+        F.when(
+            tag.rlike(r"(?is)href\s*=\s*\""),
+            F.regexp_extract(tag, r"(?is)href\s*=\s*\"([^\"]*)\"", 1),
+        )
+        .when(
+            tag.rlike(r"(?is)href\s*=\s*'"),
+            F.regexp_extract(tag, r"(?is)href\s*=\s*'([^']*)'", 1),
+        )
+        .otherwise(F.regexp_extract(tag, r"(?is)href\s*=\s*([^\s\"'>][^\s>]*)", 1))
+    )
+    s2 = s1.select("*", F.when(raw != "", raw).alias("_pd_raw"))
+    resolved = _resolve_href(F.col(url_col), F.col("_pd_raw"))
+    return s2.select(
+        *pages.columns,
+        F.substring_index(resolved, "#", 1).alias("canonical"),
+        "noindex",
+        "nofollow",
+    )
+
+
+def page_directives(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """The directives alone: ``(url, canonical, noindex, nofollow)`` —
+    the projection view of ``with_page_directives``."""
+    return with_page_directives(pages, url_col=url_col, html_col=html_col).select(
+        F.col(url_col).alias("url"), "canonical", "noindex", "nofollow"
+    )
+
+
+def canonical_dedup(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_noindex: bool = False,
+) -> DataFrame:
+    """One surviving page per canonical identity: pages declaring the same
+    ``rel=canonical`` target collapse to a single row (print/AMP/tracking-
+    variant mirrors all point at one target — the site-declared duplicate
+    set that url-string dedup cannot see). Identity =
+    ``canonicalize_url(coalesce(canonical, url))``, so undeclared pages
+    are their own identity and the url-trivia rules still apply on top.
+
+    Winner per identity is deterministic and content-motivated: the page
+    whose canonicalized url IS the target wins when present (the page the
+    site says to index), else the minimum url. One shuffle (the dedup
+    window); per-group memory is bounded by the duplicate-set size —
+    canonical clusters are site-declared and small, unlike crawl-hot
+    hosts (contrast ``host_cap_sample``, whose prefilter exists because
+    host groups are NOT small).
+
+    ``drop_noindex=True`` additionally drops robots-noindex pages BEFORE
+    the window (map-side filter, shrinks the shuffle). Output: the input
+    columns + ``canonical_key``.
+    """
+    from pyspark.sql import Window
+
+    pg = with_page_directives(pages, url_col=url_col, html_col=html_col)
+    if drop_noindex:
+        pg = pg.filter(~F.col("noindex"))
+    pg = pg.withColumn(
+        "canonical_key",
+        canonicalize_url(F.coalesce(F.col("canonical"), F.col(url_col))),
+    ).withColumn(
+        "_is_target",
+        (canonicalize_url(F.col(url_col)) == F.col("canonical_key")).cast("int"),
+    )
+    w = Window.partitionBy("canonical_key").orderBy(
+        F.desc("_is_target"), F.col(url_col)
+    )
+    return (
+        pg.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_target", "canonical", "noindex", "nofollow")
     )

@@ -401,3 +401,203 @@ def test_filter_blocked_domains(spark):
     assert {r["doc_id"] for r in out.collect()} == {2, 3, 4, 5, 6, 7}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:800]
+
+
+# ---------------------------------------------------------------------------
+# page directives (rel=canonical, meta robots) + canonical dedup
+# ---------------------------------------------------------------------------
+
+def _ref_resolve(url: str, link: str):
+    """The shared _resolve_href contract, replayed in stdlib re."""
+    if re.match(r"(?i)^https?://", link):
+        r = link
+    elif re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:", link):
+        return None
+    elif link.startswith("//"):
+        m = re.match(r"^([a-z][a-z0-9+.\-]*):", url)
+        r = (m.group(1) if m else "") + ":" + link
+    elif link.startswith("/"):
+        m = re.match(r"^([^/?#]*://[^/?#]*)", url)
+        r = (m.group(1) if m else "") + link
+    elif link.startswith("#") or link == "":
+        return None
+    else:
+        root_m = re.match(r"^([^/?#]*://[^/?#]*)", url)
+        root = root_m.group(1) if root_m else ""
+        path_m = re.match(r"^[^/?#]*://[^/?#]*(/[^?#]*)?", url)
+        path = (path_m.group(1) or "") if path_m else ""
+        pdir = root + re.sub(r"[^/]*$", "", path)
+        if not re.search(r"://[^/?#]*/", pdir):
+            pdir = root + "/"
+        r = pdir + link
+    return r.split("#", 1)[0] or None
+
+
+def ref_directives(url: str, html):
+    """Independent replay of the with_page_directives contract."""
+    if html is None:
+        return (None, False, False)
+    text = html.decode("utf-8", "replace") if isinstance(html, (bytes, bytearray)) else html
+    text = re.sub(r"(?s)<!--.*?-->", "", text)
+    canonical = None
+    m = re.search(
+        r"(?is)<link\s[^>]*?rel\s*=\s*(\"canonical\"|'canonical'|canonical[\s/>])[^>]*>",
+        text,
+    )
+    if m:
+        tag = m.group(0)
+        hm = (
+            re.search(r"(?is)href\s*=\s*\"([^\"]*)\"", tag)
+            or re.search(r"(?is)href\s*=\s*'([^']*)'", tag)
+            or re.search(r"(?is)href\s*=\s*([^\s\"'>][^\s>]*)", tag)
+        )
+        raw = hm.group(1) if hm else ""
+        if raw:
+            canonical = _ref_resolve(url, raw)
+
+    def flag(token):
+        fwd = rf"(?is)<meta\s[^>]*?name\s*=\s*[\"']?robots[\"']?[^>]*?{token}([^\w-][^>]*)?>"
+        bwd = rf"(?is)<meta\s[^>]*?{token}[^\w-][^>]*?name\s*=\s*[\"']?robots[\"']?[^>]*>"
+        return bool(re.search(fwd, text) or re.search(bwd, text))
+
+    return (canonical, flag("noindex"), flag("nofollow"))
+
+
+_DIRECTIVE_PAGES = [
+    # canonical: double-quoted, extra attrs, absolute target
+    ("https://s.example/a?utm_source=x",
+     '<link rel="canonical" href="https://s.example/a"><p>x</p>'),
+    # href BEFORE rel, single quotes
+    ("https://s.example/b.amp",
+     "<link href='https://s.example/b' rel='canonical'>"),
+    # unquoted both attrs + relative href resolves against the page dir
+    ("https://s.example/dir/c.print",
+     "<link rel=canonical href=c.html>"),
+    # root-relative target
+    ("https://s.example/d?sess=9",
+     '<link rel="canonical" href="/d">'),
+    # multi-token rel list: documented conservative -> NOT matched
+    ("https://s.example/e",
+     '<link rel="canonical alternate" href="https://s.example/other">'),
+    # commented-out directive ignored; fragment stripped from target
+    ("https://s.example/f",
+     '<!-- <link rel="canonical" href="https://ghost.example/"> -->'
+     '<link rel="canonical" href="https://s.example/f2#top">'),
+    # unresolvable (non-http scheme) target -> NULL
+    ("https://s.example/g",
+     '<link rel="canonical" href="mailto:x@y.z">'),
+    # robots: both tokens, case-insensitive name/content, comma list
+    ("https://s.example/h",
+     '<meta NAME="ROBOTS" CONTENT="NOINDEX, nofollow"><p>t</p>'),
+    # content before name; unquoted attrs; only noindex
+    ("https://s.example/i",
+     '<meta content="noindex" name=robots>'),
+    # 'noindexed' must NOT match; other meta names must NOT match
+    ("https://s.example/j",
+     '<meta name="robots" content="noindexed"><meta name="x" content="noindex">'),
+    # token directly before tag end (unquoted content=noindex>)
+    ("https://s.example/k",
+     "<meta name=robots content=noindex>"),
+    # no markup at all
+    ("https://s.example/plain", "<p>hello</p>"),
+]
+
+
+def test_page_directives_match_reference(spark):
+    rows = [(u, h.encode()) for u, h in _DIRECTIVE_PAGES] + [
+        ("https://s.example/nullhtml", None)
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: (r.canonical, r.noindex, r.nofollow)
+           for r in U.page_directives(df).collect()}
+    want = {u: ref_directives(u, h) for u, h in _DIRECTIVE_PAGES}
+    want["https://s.example/nullhtml"] = (None, False, False)
+    assert got == want
+    # contract spot-checks, not just the replay
+    assert got["https://s.example/a?utm_source=x"][0] == "https://s.example/a"
+    assert got["https://s.example/b.amp"][0] == "https://s.example/b"
+    assert got["https://s.example/dir/c.print"][0] == "https://s.example/dir/c.html"
+    assert got["https://s.example/d?sess=9"][0] == "https://s.example/d"
+    assert got["https://s.example/e"][0] is None
+    assert got["https://s.example/f"][0] == "https://s.example/f2"
+    assert got["https://s.example/g"][0] is None
+    assert got["https://s.example/h"][1:] == (True, True)
+    assert got["https://s.example/i"][1:] == (True, False)
+    assert got["https://s.example/j"][1:] == (False, False)
+    assert got["https://s.example/k"][1:] == (True, False)
+    assert got["https://s.example/plain"] == (None, False, False)
+
+
+def test_with_page_directives_column_collision_raises(spark):
+    df = spark.createDataFrame(
+        [("https://x/", b"<p>t</p>", "z")], "url string, html binary, canonical string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        U.with_page_directives(df)
+
+
+_CANON_PAGES = [
+    # group 1: the target itself + two declaring variants -> target wins
+    ("https://s.example/art", '<link rel="canonical" href="https://s.example/art">body'),
+    ("https://s.example/art.amp", '<link rel="canonical" href="https://s.example/art">amp'),
+    ("https://s.example/art?utm_campaign=q", '<link rel="canonical" href="https://s.example/art">utm'),
+    # group 2: two variants of an uncrawled target -> min url wins
+    ("https://s.example/p2.print", '<link rel="canonical" href="https://s.example/p2">pr'),
+    ("https://s.example/p2.amp", '<link rel="canonical" href="https://s.example/p2">am'),
+    # undeclared pages whose urls collapse under canonicalize_url alone
+    ("https://MIRROR.example/?utm_source=x", "<p>m1</p>"),
+    ("https://mirror.example", "<p>m2</p>"),
+    # independent undeclared page, survives alone
+    ("https://solo.example/one", "<p>s</p>"),
+    # noindex page, its own identity
+    ("https://noidx.example/x", '<meta name="robots" content="noindex"><p>n</p>'),
+]
+
+
+def test_canonical_dedup_planted_groups(spark):
+    df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in _CANON_PAGES], "url string, html binary"
+    )
+    out = U.canonical_dedup(df)
+    assert out.columns == ["url", "html", "canonical_key"]
+    got = {r.canonical_key: r.url for r in out.collect()}
+    # group 1: the self-declaring target page wins over its variants
+    assert got["https://s.example/art"] == "https://s.example/art"
+    # group 2: no self page -> deterministic min url
+    assert got["https://s.example/p2"] == "https://s.example/p2.amp"
+    # url-trivia collapse without any declaration (canonicalize_url alone)
+    assert got["https://mirror.example"] == "https://MIRROR.example/?utm_source=x"
+    assert got["https://solo.example/one"] == "https://solo.example/one"
+    assert len(got) == 5  # art, p2, mirror, solo, noidx
+    # drop_noindex filters the opt-out page before the window
+    got2 = {r.canonical_key for r in U.canonical_dedup(df, drop_noindex=True).collect()}
+    assert "https://noidx.example/x" not in got2 and len(got2) == 4
+
+
+def test_canonical_dedup_deterministic_across_parallelism(spark):
+    rows = [(u, h.encode()) for u, h in _CANON_PAGES]
+    df2 = spark.createDataFrame(rows, "url string, html binary").repartition(2)
+    df16 = spark.createDataFrame(rows, "url string, html binary").repartition(16)
+    a = sorted((r.url, r.canonical_key) for r in U.canonical_dedup(df2).collect())
+    b = sorted((r.url, r.canonical_key) for r in U.canonical_dedup(df16).collect())
+    assert a == b
+
+
+def test_page_directives_kernels_evaluate_once(spark):
+    """The page-sized regex kernels must each appear exactly once in the
+    physical plan: comment strip (referenced by the canonical-tag extract
+    AND four robots flags), and the <link> tag extract (referenced by
+    three href whens) — the no-CSE-in-projections lesson. The four <meta>
+    regexes are four DISTINCT kernels (fwd/bwd x noindex/nofollow)."""
+    df = spark.createDataFrame(
+        [("https://a.example/", b"<p>x</p>")], "url string, html binary"
+    )
+    plan = U.page_directives(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("<!--") == 1, f"comment-strip kernel duplicated:\n{plan[:1500]}"
+    assert plan.count("<link") == 1, f"ctag kernel duplicated:\n{plan[:1500]}"
+    assert plan.count("<meta") == 4
+    # in canonical_dedup the robots flags are dropped -> column pruning
+    # must eliminate their kernels outright (default drop_noindex=False)
+    plan2 = U.canonical_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("<!--") == 1 and plan2.count("<link") == 1
+    assert plan2.count("<meta") == 0, "unused robots kernels not pruned"
