@@ -315,10 +315,13 @@ def with_page_directives(
       url by the shared ``_resolve_href`` contract and fragment-stripped;
       NULL when absent or unresolvable (e.g. a ``mailto:`` href);
     - ``noindex`` / ``nofollow`` = true iff ANY ``<meta … name="robots"
-      …>`` tag carries the whole-word token anywhere in the same tag
-      (approximating "in its content attribute" — a robots meta tag has
-      no other free-text attribute in practice; documented);
-    - NULL html → (NULL, false, false): no markup, no directives.
+      …>`` tag carries the token — bounded by non-word chars on both
+      sides — anywhere in the same tag (approximating "in its content
+      attribute": a robots meta tag has no other free-text attribute in
+      practice; documented);
+    - NULL html → (NULL, false, false): no markup, no directives;
+    - attribute values containing a literal ``>`` are outside the
+      contract (regex-over-markup, no DOM library in the sandbox).
 
     Two chained selects so the tag-extraction kernel lands in a real
     column before the resolution whens reference it (no CSE inside
@@ -342,23 +345,40 @@ def with_page_directives(
         "*", F.regexp_replace(html, r"(?s)<!--.*?-->", "").alias("_pd_nocmt")
     )
     nocmt = F.col("_pd_nocmt")
-    # the first <link> tag carrying a bare rel=canonical token, attribute
-    # order free ([^>]*? before rel covers href-first markup); the value
-    # may be quoted either way or a bare token ending at whitespace/>
+    # The first <link> tag carrying rel=canonical, attribute order free
+    # ((?:[^>]*?\s)? = whitespace boundary before 'rel', so data-rel never
+    # matches — the extract_links href rule). The value alternation keeps
+    # the match INSIDE the tag: each alternative ends at the tag's own
+    # '>' — the earlier `canonical[\s/>]` consumed the '>' itself, so an
+    # unquoted rel=canonical closing the tag spilled the match into the
+    # NEXT tag (and stole its href) or failed at end-of-document (review
+    # finding, both reproduced).
     ctag = F.regexp_extract(
         nocmt,
-        r"(?is)<link\s[^>]*?rel\s*=\s*(\"canonical\"|'canonical'|canonical[\s/>])[^>]*>",
+        r"(?is)<link\s(?:[^>]*?\s)?rel\s*=\s*"
+        r"(\"canonical\"[^>]*|'canonical'[^>]*|canonical(\s[^>]*)?/?)>",
         0,
     )
 
     def _robots_flag(token: str) -> Column:
-        # name=robots and the token inside ONE tag, either order. The
-        # token's right boundary is an explicit non-word-char-or-tag-end
-        # alternation (([^\w-][^>]*)?>) — 'noindexed'/'noindex-x' never
-        # match, and a lookahead boundary is unavailable (lookarounds are
-        # banned for RE2 portability, the redact_pii rule)
-        fwd = rf"(?is)<meta\s[^>]*?name\s*=\s*[\"']?robots[\"']?[^>]*?{token}([^\w-][^>]*)?>"
-        bwd = rf"(?is)<meta\s[^>]*?{token}[^\w-][^>]*?name\s*=\s*[\"']?robots[\"']?[^>]*>"
+        # name=robots and the token inside ONE tag, either order, with
+        # explicit boundaries everywhere a lookaround would normally sit
+        # (lookarounds are banned for RE2 portability, the redact_pii
+        # rule): whitespace before 'name' (data-name never matches), the
+        # robots VALUE closed by quote/whitespace/slash (robotsx and
+        # robots-foo never match), and the token bounded by non-word
+        # chars on BOTH sides ('nonoindex'/'noindexed' never match).
+        # Nothing before the token may consume a '>', so the token is
+        # guaranteed to sit in the same tag as name=robots.
+        fwd = (
+            rf"(?is)<meta\s(?:[^>]*?\s)?name\s*=\s*"
+            rf"(\"robots\"|'robots'|robots[\s/])"
+            rf"[^>]*?[^\w-]{token}([^\w-][^>]*)?>"
+        )
+        bwd = (
+            rf"(?is)<meta\s[^>]*?[^\w-]{token}[^\w-][^>]*?\sname\s*=\s*"
+            rf"(\"robots\"[^>]*|'robots'[^>]*|robots(\s[^>]*)?/?)>"
+        )
         return F.coalesce(
             F.regexp_like(nocmt, F.lit(fwd)) | F.regexp_like(nocmt, F.lit(bwd)),
             F.lit(False),
@@ -374,16 +394,18 @@ def with_page_directives(
     # _pd_ctag COLUMN, so their duplication across the whens is regex
     # over a tag-sized string, not the page
     tag = F.col("_pd_ctag")
+    # \shref = whitespace boundary so data-href inside the tag never
+    # supplies the canonical target (attrs are always space-separated)
     raw = (
         F.when(
-            tag.rlike(r"(?is)href\s*=\s*\""),
-            F.regexp_extract(tag, r"(?is)href\s*=\s*\"([^\"]*)\"", 1),
+            tag.rlike(r"(?is)\shref\s*=\s*\""),
+            F.regexp_extract(tag, r"(?is)\shref\s*=\s*\"([^\"]*)\"", 1),
         )
         .when(
-            tag.rlike(r"(?is)href\s*=\s*'"),
-            F.regexp_extract(tag, r"(?is)href\s*=\s*'([^']*)'", 1),
+            tag.rlike(r"(?is)\shref\s*=\s*'"),
+            F.regexp_extract(tag, r"(?is)\shref\s*=\s*'([^']*)'", 1),
         )
-        .otherwise(F.regexp_extract(tag, r"(?is)href\s*=\s*([^\s\"'>][^\s>]*)", 1))
+        .otherwise(F.regexp_extract(tag, r"(?is)\shref\s*=\s*([^\s\"'>][^\s>]*)", 1))
     )
     s2 = s1.select("*", F.when(raw != "", raw).alias("_pd_raw"))
     resolved = _resolve_href(F.col(url_col), F.col("_pd_raw"))
@@ -431,10 +453,28 @@ def canonical_dedup(
     ``drop_noindex=True`` additionally drops robots-noindex pages BEFORE
     the window (map-side filter, shrinks the shuffle). Output: the input
     columns + ``canonical_key``.
+
+    NULL-url pages have no canonical identity: they bypass the window
+    untouched with a NULL ``canonical_key`` — a NULL key would funnel
+    every NULL-url page into ONE window group and keep exactly one,
+    silently dropping the rest (the host_cap_sample NULL rule: never
+    silently drop; review finding).
     """
     from pyspark.sql import Window
 
-    pg = with_page_directives(pages, url_col=url_col, html_col=html_col)
+    reserved = {"canonical_key", "_is_target", "_rn"}
+    clash = reserved & set(pages.columns)
+    if clash:
+        raise ValueError(
+            f"canonical_dedup: input columns collide with output/helper "
+            f"names {sorted(clash)}"
+        )
+    null_rows = pages.filter(F.col(url_col).isNull()).withColumn(
+        "canonical_key", F.lit(None).cast("string")
+    )
+    pg = with_page_directives(
+        pages.filter(F.col(url_col).isNotNull()), url_col=url_col, html_col=html_col
+    )
     if drop_noindex:
         pg = pg.filter(~F.col("noindex"))
     pg = pg.withColumn(
@@ -451,4 +491,5 @@ def canonical_dedup(
         pg.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_is_target", "canonical", "noindex", "nofollow")
+        .unionByName(null_rows)
     )

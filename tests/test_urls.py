@@ -247,32 +247,9 @@ def ref_links(url: str, html) -> set[str]:
     text = html.decode("utf-8", "replace") if isinstance(html, (bytes, bytearray)) else html
     text = re.sub(r"(?s)<!--.*?-->", "", text)
     raws = [m for pat in _HREF_PATS for m in re.findall(pat, text)]
-    scheme_m = re.match(r"^([a-z][a-z0-9+.\-]*):", url)
-    root_m = re.match(r"^([^/?#]*://[^/?#]*)", url)
-    root = root_m.group(1) if root_m else ""
-    path_m = re.match(r"^[^/?#]*://[^/?#]*(/[^?#]*)?", url)
-    path = (path_m.group(1) or "") if path_m else ""
-    pdir = root + re.sub(r"[^/]*$", "", path)
-    if not re.search(r"://[^/?#]*/", pdir):
-        pdir = root + "/"
-    out = set()
-    for link in raws:
-        if re.match(r"(?i)^https?://", link):
-            r = link
-        elif re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:", link):
-            continue
-        elif link.startswith("//"):
-            r = (scheme_m.group(1) if scheme_m else "") + ":" + link
-        elif link.startswith("/"):
-            r = root + link
-        elif link.startswith("#") or link == "":
-            continue
-        else:
-            r = pdir + link
-        r = r.split("#", 1)[0]
-        if r:
-            out.add(r)
-    return out
+    # resolution shared with ref_directives — one replay of the
+    # _resolve_href contract (review finding: two inline copies drifted)
+    return {r for r in (_ref_resolve(url, link) for link in raws) if r}
 
 
 _PAGES = [
@@ -433,34 +410,52 @@ def _ref_resolve(url: str, link: str):
     return r.split("#", 1)[0] or None
 
 
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z][\w:.-]*)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))"""
+)
+
+
+def _tag_attrs(tag: str) -> dict[str, str]:
+    """Attribute map of one tag string — a real (if small) attribute
+    parser, structurally different from the implementation's regexes."""
+    out = {}
+    for m in _ATTR_RE.finditer(tag):
+        v = m.group(2) if m.group(2) is not None else m.group(3)
+        if v is None:
+            v = m.group(4)
+        out.setdefault(m.group(1).lower(), v)
+    return out
+
+
 def ref_directives(url: str, html):
-    """Independent replay of the with_page_directives contract."""
+    """INDEPENDENT replay of the with_page_directives contract: tags are
+    enumerated and their attributes parsed semantically (name/value map),
+    instead of re-running the implementation's whole-page regexes — a
+    same-regex 'oracle' is structurally incapable of catching boundary
+    bugs in those regexes (review finding; the tag-spillover bug survived
+    exactly that way). Fixtures must stay inside the documented contract
+    (no '>' in attribute values; robots tokens carried in the content
+    attribute), where the two formulations provably agree."""
     if html is None:
         return (None, False, False)
     text = html.decode("utf-8", "replace") if isinstance(html, (bytes, bytearray)) else html
     text = re.sub(r"(?s)<!--.*?-->", "", text)
     canonical = None
-    m = re.search(
-        r"(?is)<link\s[^>]*?rel\s*=\s*(\"canonical\"|'canonical'|canonical[\s/>])[^>]*>",
-        text,
-    )
-    if m:
-        tag = m.group(0)
-        hm = (
-            re.search(r"(?is)href\s*=\s*\"([^\"]*)\"", tag)
-            or re.search(r"(?is)href\s*=\s*'([^']*)'", tag)
-            or re.search(r"(?is)href\s*=\s*([^\s\"'>][^\s>]*)", tag)
-        )
-        raw = hm.group(1) if hm else ""
-        if raw:
-            canonical = _ref_resolve(url, raw)
-
-    def flag(token):
-        fwd = rf"(?is)<meta\s[^>]*?name\s*=\s*[\"']?robots[\"']?[^>]*?{token}([^\w-][^>]*)?>"
-        bwd = rf"(?is)<meta\s[^>]*?{token}[^\w-][^>]*?name\s*=\s*[\"']?robots[\"']?[^>]*>"
-        return bool(re.search(fwd, text) or re.search(bwd, text))
-
-    return (canonical, flag("noindex"), flag("nofollow"))
+    for tag in re.findall(r"(?is)<link\b[^>]*>", text):
+        attrs = _tag_attrs(tag)
+        if attrs.get("rel", "").lower() == "canonical":
+            raw = attrs.get("href", "")
+            if raw:
+                canonical = _ref_resolve(url, raw)
+            break  # FIRST canonical link decides, href or not
+    noindex = nofollow = False
+    for tag in re.findall(r"(?is)<meta\b[^>]*>", text):
+        attrs = _tag_attrs(tag)
+        if attrs.get("name", "").lower() == "robots":
+            toks = set(re.split(r"[,\s]+", attrs.get("content", "").lower()))
+            noindex = noindex or "noindex" in toks
+            nofollow = nofollow or "nofollow" in toks
+    return (canonical, noindex, nofollow)
 
 
 _DIRECTIVE_PAGES = [
@@ -500,6 +495,26 @@ _DIRECTIVE_PAGES = [
      "<meta name=robots content=noindex>"),
     # no markup at all
     ("https://s.example/plain", "<p>hello</p>"),
+    # --- review-reproduced boundary bugs, pinned ---
+    # bare rel=canonical closing its tag must NOT spill the match into
+    # the next tag and steal ITS href
+    ("https://s.example/evil",
+     '<link rel=canonical><a href="https://evil.example/page">x</a>'),
+    # bare rel=canonical as the LAST attribute of the document's last tag
+    ("https://s.example/endbare",
+     '<p>x</p><link href="https://s.example/t" rel=canonical>'),
+    # token needs a LEFT boundary too
+    ("https://s.example/non", '<meta name="robots" content="nonoindex">'),
+    # robots value must be closed (quote/whitespace), not a prefix match
+    ("https://s.example/rx", '<meta name="robotsx" content="noindex">'),
+    ("https://s.example/rf", '<meta name="robots-foo" content="noindex">'),
+    # attribute NAMES need a whitespace boundary (data-name, data-rel)
+    ("https://s.example/dn", '<meta data-name="robots" content="noindex">'),
+    ("https://s.example/drel",
+     '<link data-rel=canonical href="https://x.example/q">'),
+    # the FIRST canonical link decides, even when it has no href
+    ("https://s.example/first",
+     '<link rel="canonical"><link rel="canonical" href="https://s.example/second">'),
 ]
 
 
@@ -526,6 +541,14 @@ def test_page_directives_match_reference(spark):
     assert got["https://s.example/j"][1:] == (False, False)
     assert got["https://s.example/k"][1:] == (True, False)
     assert got["https://s.example/plain"] == (None, False, False)
+    assert got["https://s.example/evil"][0] is None  # no href theft
+    assert got["https://s.example/endbare"][0] == "https://s.example/t"
+    assert got["https://s.example/non"][1:] == (False, False)
+    assert got["https://s.example/rx"][1:] == (False, False)
+    assert got["https://s.example/rf"][1:] == (False, False)
+    assert got["https://s.example/dn"][1:] == (False, False)
+    assert got["https://s.example/drel"][0] is None
+    assert got["https://s.example/first"][0] is None
 
 
 def test_with_page_directives_column_collision_raises(spark):
@@ -572,6 +595,27 @@ def test_canonical_dedup_planted_groups(spark):
     # drop_noindex filters the opt-out page before the window
     got2 = {r.canonical_key for r in U.canonical_dedup(df, drop_noindex=True).collect()}
     assert "https://noidx.example/x" not in got2 and len(got2) == 4
+
+
+def test_canonical_dedup_null_urls_never_dropped(spark):
+    # N NULL-url pages must ALL survive (a NULL window key would group
+    # them and keep one — the host_cap_sample never-silently-drop rule)
+    rows = [(None, b"<p>a</p>"), (None, b"<p>b</p>"), (None, b"<p>c</p>"),
+            ("https://ok.example/x", b"<p>d</p>")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = U.canonical_dedup(df).collect()
+    assert len(out) == 4
+    assert sum(1 for r in out if r.url is None) == 3
+    assert all(r.canonical_key is None for r in out if r.url is None)
+
+
+def test_canonical_dedup_column_collision_raises(spark):
+    df = spark.createDataFrame(
+        [("https://x/", b"<p>t</p>", "old")],
+        "url string, html binary, canonical_key string",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        U.canonical_dedup(df)
 
 
 def test_canonical_dedup_deterministic_across_parallelism(spark):
