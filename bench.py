@@ -485,6 +485,27 @@ def main() -> None:
             )
             warc_blobs = spark.read.parquet(warc_path)
 
+            # robots fixture: one robots.txt per distinct host (prebuilt,
+            # untimed); "Disallow: /page-1" gives the filter real work
+            # against the fixture's /page-N.html url shape
+            from mistral_ocr_spark.operators import robots as RB
+
+            robots_path = f"{tmp}/robots"
+            (
+                spark.read.parquet(pages_path)
+                .select(UU.url_host(F.col("url")).alias("host"))
+                .distinct()
+                .withColumn(
+                    "robots_txt",
+                    F.lit(
+                        "User-agent: *\nDisallow: /private/\n"
+                        "Allow: /private/pub\nDisallow: /page-1\n"
+                    ),
+                )
+                .write.mode("overwrite")
+                .parquet(robots_path)
+            )
+
             extra = {
                 "lm_perplexity": lambda: X.lm_perplexity(docs, lm_dir),
                 "chunk_documents": lambda: PREP.chunk_documents(
@@ -557,6 +578,12 @@ def main() -> None:
                     expected_items=N_PAGES,
                 ),
                 "warc_parse": lambda: WARC.warc_to_pages(WARC.read_warc(warc_blobs)),
+                # REP permission filter end to end: parse every host's
+                # robots.txt + the longest-match decision over the corpus
+                "robots_filter": lambda: RB.filter_disallowed(
+                    spark.read.parquet(pages_path).select("url", "warc_ts"),
+                    RB.parse_robots(spark.read.parquet(robots_path)),
+                ),
                 # link-graph edge emitter over the full bench corpus
                 # (fixture links are same-host, so the pagerank graph
                 # below is synthesized instead of derived)
