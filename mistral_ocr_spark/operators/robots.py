@@ -77,6 +77,10 @@ def parse_robots_text(txt: str, user_agent: str) -> list[tuple[bool, str]]:
     groups: dict[str, list[tuple[bool, str]]] = {}
     cur: list[str] = []
     after_rules = False
+    # BOM-prefixed robots.txt is common in the wild (Google's parser
+    # strips it); without this the first User-agent line fails the line
+    # regex and the whole first group silently default-allows (review)
+    txt = txt.lstrip("\ufeff")
     for line in txt.splitlines():
         line = line.split("#", 1)[0].strip()
         m = _LINE_RE.match(line)
@@ -125,11 +129,17 @@ def parse_robots(
                 if isinstance(txt, (bytes, bytearray)):
                     txt = bytes(txt).decode("utf-8", "replace")
                 for allow, pat in parse_robots_text(txt, user_agent):
-                    out["host"].append(host)
+                    # lowercased to meet filter_disallowed's url_host join
+                    # key — a mixed-case host row would otherwise have its
+                    # rules silently ignored (review finding)
+                    out["host"].append(host.lower())
                     out["allow"].append(allow)
                     out["pattern"].append(pat)
                     out["like_pat"].append(_to_like(pat))
-                    out["spec"].append(len(pat))
+                    # octet length per RFC 9309 (and the module contract);
+                    # len(pat) would flip longest-match winners for
+                    # non-ASCII patterns (review finding)
+                    out["spec"].append(len(pat.encode("utf-8")))
             if out["host"]:
                 yield pd.DataFrame(out)
 
@@ -155,9 +165,22 @@ def filter_disallowed(
     by_host = rules.groupBy(F.col("host").alias("_rb_host")).agg(
         F.collect_list(F.struct("spec", "allow", "like_pat")).alias("_rules")
     )
-    path = F.regexp_extract(F.col(url_col), r"^[^/?#]*://[^/?#]*([^#]*)", 1)
-    pg = pages.withColumn("_rb_host", url_host(F.col(url_col))).withColumn(
-        "_rb_path", F.when(path == "", F.lit("/")).otherwise(path)
+    # the raw capture lands in its own column before the normalization
+    # references it twice (no CSE inside a projection — the urls.py rule);
+    # RFC 9309 §2.2.2: an empty path is "/", so 'https://h?x=1' must match
+    # as '/?x=1', not '?x=1' which would evade every /-prefixed rule
+    pg = (
+        pages.withColumn("_rb_host", url_host(F.col(url_col)))
+        .withColumn(
+            "_rb_path",
+            F.regexp_extract(F.col(url_col), r"^[^/?#]*://[^/?#]*([^#]*)", 1),
+        )
+        .withColumn(
+            "_rb_path",
+            F.when(
+                F.col("_rb_path").startswith("/"), F.col("_rb_path")
+            ).otherwise(F.concat(F.lit("/"), F.col("_rb_path"))),
+        )
     )
     joined = pg.join(by_host, "_rb_host", "left")
     hits = F.filter(

@@ -32,11 +32,12 @@ def ref_match(path: str, pattern: str) -> bool:
 
 
 def ref_allowed(path: str, rules: list[tuple[bool, str]]) -> bool:
-    """RFC longest-match: longest matching pattern wins, ties → allow."""
+    """RFC longest-match: longest (in OCTETS) matching pattern wins,
+    ties → allow."""
     best = None
     for allow, pat in rules:
         if ref_match(path, pat):
-            cand = (len(pat), allow)
+            cand = (len(pat.encode("utf-8")), allow)
             if best is None or cand > best:
                 best = cand
     return True if best is None else best[1]
@@ -182,6 +183,52 @@ def test_filter_matches_independent_matcher_on_fuzz(spark):
     kept = {r.url for r in filter_disallowed(pages, parse_robots(robots)).collect()}
     for url, want in expect.items():
         assert (url in kept) == want, f"{url}: want allowed={want}"
+
+
+def test_grammar_bom_stripped():
+    # BOM-prefixed robots.txt must not lose its first group (review)
+    txt = "\ufeffUser-agent: *\nDisallow: /\n"
+    assert parse_robots_text(txt, "anybot") == [(False, "/")]
+
+
+def test_empty_path_query_url_matches_as_root(spark):
+    # RFC 9309 §2.2.2: empty path is '/', so https://h?x=1 matches '/?x=1'
+    # — it must not evade /-prefixed rules (review)
+    robots = spark.createDataFrame(
+        [("known.example", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [("https://known.example?x=1", 1), ("https://known.example", 2)],
+        "url string, k int",
+    )
+    kept = {r.k for r in filter_disallowed(pages, parse_robots(robots)).collect()}
+    assert kept == set()
+
+
+def test_mixed_case_robots_host_still_applies(spark):
+    # parse_robots lowercases the host to meet url_host's join key (review)
+    robots = spark.createDataFrame(
+        [("Mixed.Example", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [("https://mixed.example/a", 1)], "url string, k int"
+    )
+    assert filter_disallowed(pages, parse_robots(robots)).count() == 0
+
+
+def test_specificity_is_octets_not_chars(spark):
+    # '/éé' = 5 octets beats '/é*' = 4 octets; a char-count tie would
+    # flip the winner to Allow (review)
+    rules = [(False, "/éé"), (True, "/é*")]
+    assert ref_allowed("/éé", rules) is False
+    robots = spark.createDataFrame(
+        [("o.example", "User-agent: *\nDisallow: /éé\nAllow: /é*\n")],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame([("https://o.example/éé", 1)], "url string, k int")
+    assert filter_disallowed(pages, parse_robots(robots)).count() == 0
 
 
 def test_filter_defaults_and_null_url(spark):
