@@ -63,6 +63,18 @@ def cmd_submit(args) -> int:
         pages = spark.read.parquet(args.pages)
     else:
         pages = generate_pages(spark, args.generate)
+    if getattr(args, "robots", None):
+        # REP permission filter BEFORE extraction (operators/robots.py):
+        # disallowed pages never reach the extractor or the table
+        from mistral_ocr_spark.operators.robots import (
+            filter_disallowed,
+            parse_robots,
+        )
+
+        rules = parse_robots(
+            spark.read.parquet(args.robots), user_agent=args.user_agent
+        )
+        pages = filter_disallowed(pages, rules)
     stats = pipeline.run(
         spark,
         pages,
@@ -353,6 +365,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--stream", action="store_true",
                    help="streaming ingestion (micro-batch commits) instead of chunked batch")
     s.add_argument("--checkpoint", help="streaming checkpoint dir (default under table)")
+    s.add_argument("--robots", help="per-host robots.txt parquet dir (host, robots_txt); "
+                   "disallowed pages are dropped before extraction")
+    s.add_argument("--user-agent", default="*",
+                   help="crawler product token for --robots group selection")
     s.set_defaults(func=cmd_submit)
 
     s = sub.add_parser("status", help="per-run counters from lineage")

@@ -182,3 +182,37 @@ def test_cli_neardup_and_lm_verbs(table, capsys):
     assert recs[-1]["shown"] == len(recs) - 1 > 0
     ppls = [r["ppl"] for r in recs[:-1]]
     assert ppls == sorted(ppls, reverse=True)  # worst (gibberish) first
+
+
+def test_cli_submit_with_robots_filter(table, capsys):
+    """--robots drops disallowed pages before extraction: the committed
+    doc count reflects the REP filter, and a disallowed url is absent."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from mistral_ocr_spark.operators.urls import url_host
+    from mistral_ocr_spark.sources.fixtures import generate_pages
+
+    tbl, root = table
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    pages_dir = f"{root}/pages"
+    generate_pages(spark, 200).write.mode("overwrite").parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    robots_dir = f"{root}/robots"
+    (
+        pages.select(url_host(F.col("url")).alias("host")).distinct()
+        .withColumn("robots_txt", F.lit("User-agent: *\nDisallow: /page-1\n"))
+        .write.mode("overwrite").parquet(robots_dir)
+    )
+    n_total = pages.count()
+    n_blocked = pages.filter(
+        F.regexp_extract("url", r"^[^/?#]*://[^/?#]*(.*)$", 1).startswith("/page-1")
+    ).count()
+    assert 0 < n_blocked < n_total  # the fixture actually exercises both sides
+
+    assert cli.main([
+        "submit", "--table", tbl, "--pages", pages_dir,
+        "--robots", robots_dir, "--chunks", "1",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs"] == n_total - n_blocked
