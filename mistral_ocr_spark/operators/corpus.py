@@ -76,6 +76,8 @@ def _materialize(
 def build_training_corpus(
     pages: DataFrame,
     benchmark: DataFrame | None = None,
+    robots_rules: DataFrame | None = None,
+    honor_directives: bool = False,
     min_quality: float = 0.0,
     require_gopher: bool = False,
     require_rep: bool = True,
@@ -93,6 +95,13 @@ def build_training_corpus(
 
     Stages (each optional where a production recipe would make it so):
 
+    0. CRAWL POLICY (optional) — ``robots_rules`` (a ``parse_robots``
+       output) drops pages the site disallowed for the collecting
+       crawler BEFORE extraction (one host-keyed join, map-side
+       decision); ``honor_directives=True`` then collapses
+       ``rel=canonical`` mirror sets to their declared target and drops
+       robots-noindex pages (``urls.canonical_dedup`` — costs one extra
+       window shuffle of the RAW pages, which is why it is opt-in).
     1. EXTRACT — in-cluster main-content extraction; rows with an
        ``error_class`` (undecodable, empty, unsupported PDF) drop here.
        ``doc_id`` is the deterministic xxhash64 of the url, and one row
@@ -133,6 +142,15 @@ def build_training_corpus(
 
     spark = pages.sparkSession
     scratch = scratch_dir or scratch_table_dir(spark)
+
+    if robots_rules is not None:
+        from mistral_ocr_spark.operators.robots import filter_disallowed
+
+        pages = filter_disallowed(pages, robots_rules)
+    if honor_directives:
+        from mistral_ocr_spark.operators.urls import canonical_dedup
+
+        pages = canonical_dedup(pages, drop_noindex=True).drop("canonical_key")
 
     ext = extract_pages(pages)
     docs = (

@@ -213,3 +213,46 @@ def test_half_specified_lm_config_raises(spark):
         build_training_corpus(_corpus(spark), lm_dir="/nonexistent")
     with _pytest.raises(ValueError, match="lm_dir and max_ppl"):
         build_training_corpus(_corpus(spark), max_ppl=100.0)
+
+
+def test_crawl_policy_pre_stages(spark):
+    """Stage 0: robots disallow, canonical-mirror collapse, and noindex
+    drop all act BEFORE extraction; everything downstream is unchanged."""
+    from mistral_ocr_spark.operators.robots import parse_robots
+
+    base = _corpus(spark)
+    mirror_html = (
+        '<html><head>'
+        '<link rel="canonical" href="https://host-1.example.com/doc-1.html">'
+        f'</head><body><article><h1>Doc 1</h1><p>{_UNIQUE[1]} mirrored with '
+        "extra words so exact dedup alone cannot collapse it</p></article>"
+        "</body></html>"
+    ).encode()
+    noidx_html = (
+        '<html><head><meta name="robots" content="noindex"></head>'
+        f"<body><article><h1>Doc 9</h1><p>{_UNIQUE[0]} nine</p></article>"
+        "</body></html>"
+    ).encode()
+    extra = spark.createDataFrame(
+        [
+            ("https://host-1.example.com/doc-1.amp.html", None, mirror_html, None, "en"),
+            ("https://host-9.example.com/doc-9.html", None, noidx_html, None, "en"),
+        ],
+        base.schema,
+    )
+    robots = spark.createDataFrame(
+        [("host-0.example.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    out = build_training_corpus(
+        base.unionByName(extra),
+        robots_rules=parse_robots(robots),
+        honor_directives=True,
+        line_min_df=None,
+    )
+    urls = {r.url for r in out.collect()}
+    assert "https://host-0.example.com/doc-0.html" not in urls     # robots
+    assert "https://host-1.example.com/doc-1.amp.html" not in urls  # mirror
+    assert "https://host-9.example.com/doc-9.html" not in urls      # noindex
+    assert "https://host-1.example.com/doc-1.html" in urls  # target survives
+    assert "https://host-2.example.com/doc-2.html" in urls  # untouched docs stay
