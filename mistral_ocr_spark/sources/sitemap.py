@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 
 from pyspark.sql import DataFrame
 
@@ -60,9 +61,13 @@ def parse_sitemap_bytes(payload: bytes) -> list[tuple]:
     if rootname not in ("urlset", "sitemapindex"):
         raise ValueError(f"not a sitemap root element: {rootname}")
     kind = "url" if rootname == "urlset" else "sitemap"
+    # only the root-appropriate entry tag: a stray <sitemap> child inside
+    # a <urlset> is NOT a page and must not leak into the fetch frontier
+    # as one (review finding, reproduced)
+    entry_tag = "url" if kind == "url" else "sitemap"
     out = []
     for entry in root:
-        if _localname(entry.tag) not in ("url", "sitemap"):
+        if _localname(entry.tag) != entry_tag:
             continue
         fields = {"loc": None, "lastmod": None, "changefreq": None, "priority": None}
         for child in entry:
@@ -72,11 +77,13 @@ def parse_sitemap_bytes(payload: bytes) -> list[tuple]:
         if not fields["loc"]:
             continue  # an entry without a loc carries nothing fetchable
         prio = None
-        if fields["priority"] is not None:
-            try:
-                prio = float(fields["priority"])
-            except ValueError:
-                prio = None  # malformed priority must not cost the loc
+        if fields["priority"] is not None and re.fullmatch(
+            r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", fields["priority"]
+        ):
+            # plain-decimal gate before float(): bare float() accepts
+            # 'nan'/'Infinity'/'1_0', which are malformed per the spec and
+            # must become None, not NaN/inf in a double column (review)
+            prio = float(fields["priority"])
         out.append((kind, fields["loc"], fields["lastmod"], fields["changefreq"], prio))
     return out
 
@@ -90,28 +97,41 @@ def read_sitemaps(
     (``SITEMAP_SCHEMA``). Plain or gzip blobs; per-blob error isolation
     (``kind='parse_error'`` + ``error_class``, loc NULL)."""
     import pandas as pd
+    from pyspark.sql import functions as F
 
     def fn(batches):
         for pdf in batches:
             rows = []
-            for src_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            # ids arrive as exact int64 (coalesced non-null JVM-side — a
+            # nullable long would cross Arrow→pandas as float64, failing
+            # the bigint output cast on NaN and corrupting ids above 2^53,
+            # the bloom.py trap); the true-NULL mask rides separately
+            for src_id, id_null, payload in zip(
+                pdf["src_id"], pdf["_id_null"], pdf["payload"]
+            ):
+                sid = None if id_null else int(src_id)
                 if payload is None:
-                    rows.append((src_id, "parse_error", None, None, None, None,
+                    rows.append((sid, "parse_error", None, None, None, None,
                                  "null_payload"))
                     continue
                 try:
                     for kind, loc, lastmod, cf, prio in parse_sitemap_bytes(
                         bytes(payload)
                     ):
-                        rows.append((src_id, kind, loc, lastmod, cf, prio, None))
+                        rows.append((sid, kind, loc, lastmod, cf, prio, None))
                 except Exception as exc:  # malformed blob → one typed row
-                    rows.append((src_id, "parse_error", None, None, None, None,
+                    rows.append((sid, "parse_error", None, None, None, None,
                                  type(exc).__name__))
             if rows:
                 yield pd.DataFrame(rows, columns=list(_FIELDS))
 
+    # fixed names inside the kernel: the select renames the caller's
+    # columns, so indexing pdf[id_col] would KeyError for any non-default
+    # id_col (review finding)
     return blobs.select(
-        blobs[id_col].alias("src_id"), blobs[payload_col].alias(payload_col)
+        F.coalesce(blobs[id_col].cast("long"), F.lit(0)).alias("src_id"),
+        blobs[id_col].isNull().alias("_id_null"),
+        blobs[payload_col].alias("payload"),
     ).mapInPandas(fn, SITEMAP_SCHEMA)
 
 
@@ -127,5 +147,16 @@ def sitemap_pages(entries: DataFrame) -> DataFrame:
         entries.filter(F.col("kind") == "url")
         .select("loc", "lastmod")
         .groupBy("loc")
-        .agg(F.max("lastmod").alias("lastmod"))
+        # chronological recency, not string order: a lexicographic max
+        # over raw W3C datetimes picks '13:00+02:00' over '12:00Z' even
+        # though it is the OLDER instant (review finding). max_by on the
+        # timestamp cast decides among parseable values (unparseable cast
+        # to NULL and are ignored); the string max is only the fallback
+        # when no value parses at all.
+        .agg(
+            F.coalesce(
+                F.max_by("lastmod", F.col("lastmod").cast("timestamp")),
+                F.max("lastmod"),
+            ).alias("lastmod")
+        )
     )

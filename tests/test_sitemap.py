@@ -187,3 +187,46 @@ def test_fuzz_against_regex_reference(spark):
         for (k, loc, lm, _cf, prio) in ref_entries(body)
     )
     assert got == want
+
+
+def test_stray_entry_tag_does_not_leak(spark):
+    # a <sitemap> child inside a <urlset> is a pointer, never a page
+    mixed = (b"<urlset><url><loc>https://m.example/p1</loc></url>"
+             b"<sitemap><loc>https://m.example/more.xml</loc></sitemap></urlset>")
+    assert parse_sitemap_bytes(mixed) == [("url", "https://m.example/p1", None, None, None)]
+    blobs = spark.createDataFrame([(1, mixed)], "src_id bigint, payload binary")
+    pages = {r.loc for r in sitemap_pages(read_sitemaps(blobs)).collect()}
+    assert pages == {"https://m.example/p1"}
+
+
+def test_nonspec_priorities_become_none():
+    for bad in ("Infinity", "-inf", "nan", "1_0", "0x1"):
+        xml = f"<urlset><url><loc>https://x/</loc><priority>{bad}</priority></url></urlset>"
+        assert parse_sitemap_bytes(xml.encode()) == [("url", "https://x/", None, None, None)]
+    ok = parse_sitemap_bytes(
+        b"<urlset><url><loc>https://x/</loc><priority>.5</priority></url></urlset>"
+    )
+    assert ok[0][4] == 0.5
+
+
+def test_custom_id_col_and_null_id(spark):
+    blobs = spark.createDataFrame(
+        [(7, _NONS.encode()), (None, _NONS.encode())],
+        "blob_id bigint, data binary",
+    )
+    rows = read_sitemaps(blobs, id_col="blob_id", payload_col="data").collect()
+    assert sorted([(r.src_id, r.loc) for r in rows], key=str) == sorted(
+        [(7, "https://b.example/only"), (None, "https://b.example/only")], key=str
+    )
+
+
+def test_frontier_recency_is_chronological(spark):
+    # '13:00+02:00' is 11:00Z — OLDER than '12:00Z' despite sorting later
+    # as a string; the frontier must keep the chronologically newer one
+    a = b"<urlset><url><loc>https://t.example/x</loc><lastmod>2026-01-01T13:00:00+02:00</lastmod></url></urlset>"
+    b = b"<urlset><url><loc>https://t.example/x</loc><lastmod>2026-01-01T12:00:00Z</lastmod></url></urlset>"
+    blobs = spark.createDataFrame([(1, a), (2, b)], "src_id bigint, payload binary")
+    got = sitemap_pages(read_sitemaps(blobs)).collect()
+    assert [(r.loc, r.lastmod) for r in got] == [
+        ("https://t.example/x", "2026-01-01T12:00:00Z")
+    ]
