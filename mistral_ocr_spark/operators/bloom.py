@@ -187,6 +187,26 @@ def build_bloom(
     return BloomFilter(bitmap=bytes(bitmap), n_bits=n_bits, n_hashes=n_hashes)
 
 
+def save_bloom(spark, bloom: BloomFilter, path: str) -> None:
+    """Persist a built filter (one-row parquet: bitmap + params) so a
+    corpus's membership filter is built once and reused across jobs —
+    the index-once tier of the signature/IVF/BM25/minhash index family."""
+    spark.createDataFrame(
+        [(bloom.bitmap, bloom.n_bits, bloom.n_hashes)],
+        "bitmap binary, n_bits long, n_hashes int",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bloom(spark, path: str) -> BloomFilter:
+    """Inverse of ``save_bloom``. The stored params are AUTHORITATIVE
+    (the bm25 modulus rule): a caller-side n_bits/n_hashes mismatch would
+    silently probe the wrong bit positions."""
+    row = spark.read.parquet(path).collect()[0]
+    return BloomFilter(
+        bitmap=bytes(row.bitmap), n_bits=int(row.n_bits), n_hashes=int(row.n_hashes)
+    )
+
+
 def probe_might_contain(
     df: DataFrame,
     bloom: BloomFilter,

@@ -264,3 +264,118 @@ def build_training_corpus(
     return deduped.select(
         "doc_id", "url", "text", "quality", "n_words", split.alias("split")
     )
+
+
+def dedup_increment(
+    corpus_docs: DataFrame,
+    increment_docs: DataFrame,
+    *,
+    expected_corpus_docs: int,
+    minhash_index_dir: str | None = None,
+    threshold: float = 0.8,
+    fpp: float = 1e-3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """The incremental-ingestion composition: rows of ``increment_docs``
+    that are NOVEL against an existing corpus — without re-reading the
+    corpus text. The daily-crawl shape at 10^12 docs: the corpus
+    contributes a fixed-size Bloom bitmap (one historical scan, reusable
+    via ``bloom.save_bloom``) and, optionally, its persisted
+    ``dedup.minhash_index`` tables; only the increment's text is scanned,
+    normalized, shingled, and signed.
+
+    1. EXACT — within-increment duplicates collapse first
+       (``exact_dedup_survivors``'s min-key rule), then a Bloom filter
+       over the corpus's normalized-text fingerprint drops every
+       increment row whose exact content already exists
+       (``exact_verify=True`` inside ``bloom_dedup_increment`` keeps the
+       anti-join equality exact — only the ~fpp candidate sliver pays a
+       join against the corpus FINGERPRINTS, never its text).
+    2. NEAR (when ``minhash_index_dir`` is given) —
+       ``minhash_lsh_pairs_incremental`` against the prebuilt index:
+       an increment doc pairing with a CORPUS doc drops outright; pairs
+       WITHIN the increment collapse transitively via connected
+       components (``graph.connected_components`` — A~B, B~C must not
+       keep both A and C), min doc_id per cluster survives.
+
+    ids must be unique across corpus and increment (the pipeline's
+    xxhash64(url) key). Output: the surviving increment rows, original
+    columns. The exact stage runs FIRST for the same reason the corpus
+    pipeline orders exact before line dedup: it shrinks what the
+    (costlier) near-dup stage must sign.
+    """
+    from mistral_ocr_spark.operators.bloom import bloom_dedup_increment
+    from mistral_ocr_spark.operators.graph import connected_components
+
+    spark = increment_docs.sparkSession
+    scratch = scratch_dir or scratch_table_dir(spark)
+    norm = F.md5(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+
+    inc = D.exact_dedup_survivors(increment_docs, text_col=text_col, key_col=key_col)
+    inc = inc.withColumn("_fp", norm)
+    corpus_fp = corpus_docs.select(
+        F.md5(
+            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+        ).alias("_fp")
+    )
+    novel = bloom_dedup_increment(
+        corpus_fp,
+        inc,
+        "_fp",
+        expected_items=expected_corpus_docs,
+        fpp=fpp,
+        exact_verify=True,
+        scratch_dir=scratch,
+    ).drop("_fp")
+    if minhash_index_dir is None:
+        return novel
+
+    # checkpoint: the near-dup stage branches `novel` (pair mining + the
+    # final anti-joins) — materialize so the bloom probe runs once
+    novel.write.mode("overwrite").parquet(f"{scratch}/inc_novel.parquet")
+    novel = spark.read.parquet(f"{scratch}/inc_novel.parquet")
+
+    pairs = D.minhash_lsh_pairs_incremental(
+        novel,
+        minhash_index_dir,
+        threshold=threshold,
+        key_col=key_col,
+        text_col=text_col,
+        include_new_new=True,
+        scratch_dir=scratch,
+    )
+    pairs.write.mode("overwrite").parquet(f"{scratch}/inc_pairs.parquet")
+    pairs = spark.read.parquet(f"{scratch}/inc_pairs.parquet")
+    inc_ids = novel.select(F.col(key_col).alias("_iid"))
+    # a pair is corpus-vs-increment iff exactly one side is an increment id
+    a_inc = pairs.join(inc_ids, pairs["id_a"] == inc_ids["_iid"], "left_semi")
+    b_inc = pairs.join(inc_ids, pairs["id_b"] == inc_ids["_iid"], "left_semi")
+    both = a_inc.select("id_a", "id_b").intersect(b_inc.select("id_a", "id_b"))
+    vs_corpus_members = (
+        a_inc.select("id_a", "id_b").union(b_inc.select("id_a", "id_b"))
+        .subtract(both)
+    )
+    drop_vs_corpus = (
+        vs_corpus_members.select(F.col("id_a").alias("_did"))
+        .union(vs_corpus_members.select(F.col("id_b").alias("_did")))
+        .join(inc_ids, F.col("_did") == F.col("_iid"), "left_semi")
+        .distinct()
+    )
+    survivors = novel.join(
+        drop_vs_corpus, novel[key_col] == drop_vs_corpus["_did"], "left_anti"
+    )
+    # transitive within-increment collapse: min id per duplicate cluster
+    within = both.join(
+        drop_vs_corpus, both["id_a"] == drop_vs_corpus["_did"], "left_anti"
+    ).join(drop_vs_corpus, F.col("id_b") == drop_vs_corpus["_did"], "left_anti")
+    clusters = connected_components(
+        within.select("id_a", "id_b"), scratch_dir=scratch
+    )
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("_lid")
+    )
+    return survivors.join(
+        losers, survivors[key_col] == losers["_lid"], "left_anti"
+    )

@@ -140,3 +140,21 @@ def test_probe_preserves_rows_and_schema(spark, sf_dir):
     flagged = probe_might_contain(docs, bloom, "text", flag_col="hit")
     assert flagged.columns == ["doc_id", "lang", "text", "hit"]
     assert flagged.count() == docs.count()
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    from mistral_ocr_spark.operators.bloom import load_bloom, save_bloom
+
+    member = spark.range(500).select(F.concat(F.lit("k"), "id").alias("k"))
+    bloom = build_bloom(member, "k", expected_items=500, fpp=0.01)
+    path = str(tmp_path / "bloom")
+    save_bloom(spark, bloom, path)
+    loaded = load_bloom(spark, path)
+    assert loaded == bloom
+    # the loaded filter probes identically (stored params authoritative)
+    missed = (
+        probe_might_contain(member, loaded, "k")
+        .filter(~F.col("might_contain"))
+        .count()
+    )
+    assert missed == 0

@@ -256,3 +256,73 @@ def test_crawl_policy_pre_stages(spark):
     assert "https://host-9.example.com/doc-9.html" not in urls      # noindex
     assert "https://host-1.example.com/doc-1.html" in urls  # target survives
     assert "https://host-2.example.com/doc-2.html" in urls  # untouched docs stay
+
+
+def test_dedup_increment_against_indexed_corpus(spark, tmp_path):
+    """Incremental ingestion: exact dups drop via the corpus Bloom filter,
+    near-dups vs the indexed corpus drop via the persisted MinHash index,
+    within-increment near-dup clusters collapse TRANSITIVELY to min id."""
+    import itertools
+
+    from mistral_ocr_spark.operators.corpus import dedup_increment
+    from mistral_ocr_spark.operators.dedup import minhash_index
+
+    words = [f"w{i}" for i in range(60)]
+    base = " ".join(words)
+
+    def edited(prefix_changed=0, suffix_changed=0, tag=""):
+        w = list(words)
+        for i in range(prefix_changed):
+            w[i] = f"p{tag}{i}"
+        for i in range(suffix_changed):
+            w[-1 - i] = f"s{tag}{i}"
+        return " ".join(w)
+
+    def jac3(a, b):
+        sh = lambda t: {tuple(t.split()[i:i + 3]) for i in range(len(t.split()) - 2)}
+        A, B = sh(a), sh(b)
+        return len(A & B) / len(A | B)
+
+    corpus_rows = [
+        (1, "corpus doc one about extraction pipelines " + " ".join(f"c1x{i}" for i in range(30))),
+        (2, " ".join(f"c2w{i}" for i in range(60)) + " corpus two trailer"),
+        (3, "corpus three totally distinct content " + " ".join(f"c3x{i}" for i in range(30))),
+    ]
+    inc_near_corpus2 = corpus_rows[1][1] + " tiny"
+    assert jac3(corpus_rows[1][1], inc_near_corpus2) >= 0.8
+    t109 = base
+    t108 = edited(prefix_changed=5)
+    t110 = edited(suffix_changed=5)
+    assert jac3(t108, t109) >= 0.8 and jac3(t109, t110) >= 0.8
+    assert jac3(t108, t110) < 0.8  # transitivity genuinely needed
+    unique = "increment unique document " + " ".join(f"u{i}" for i in range(30))
+    increment_rows = [
+        (101, corpus_rows[0][1]),       # exact dup of corpus 1 -> drops
+        (102, inc_near_corpus2),        # near-dup of corpus 2 -> drops
+        (103, unique),                  # survives
+        (106, "twin text " + " ".join(f"t{i}" for i in range(30))),
+        (107, "twin text " + " ".join(f"t{i}" for i in range(30))),  # exact twin of 106
+        (108, t108), (109, t109), (110, t110),  # chain cluster -> keep 108
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    increment = spark.createDataFrame(increment_rows, "doc_id long, text string")
+    idx = str(tmp_path / "mh_index")
+    minhash_index(corpus, idx)
+
+    got = sorted(
+        r.doc_id
+        for r in dedup_increment(
+            corpus, increment,
+            expected_corpus_docs=3,
+            minhash_index_dir=idx,
+            threshold=0.8,
+        ).collect()
+    )
+    assert got == [103, 106, 108]
+
+    # exact-only mode (no index): only the Bloom/exact stage applies
+    got2 = sorted(
+        r.doc_id
+        for r in dedup_increment(corpus, increment, expected_corpus_docs=3).collect()
+    )
+    assert got2 == [102, 103, 106, 108, 109, 110]
