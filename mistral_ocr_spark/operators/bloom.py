@@ -280,6 +280,7 @@ def bloom_dedup_increment(
     exact_verify: bool = True,
     merge_groups: int = 0,
     scratch_dir: str | None = None,
+    prebuilt: BloomFilter | None = None,
 ) -> DataFrame:
     """Rows of ``increment`` whose ``key_col`` is NOT in ``corpus``.
 
@@ -308,7 +309,10 @@ def bloom_dedup_increment(
             f"bloom_dedup_increment: key dtype mismatch — corpus {ct} vs "
             f"increment {it}; cast one side so hash and join equality agree"
         )
-    bloom = build_bloom(
+    # ``prebuilt`` (e.g. via load_bloom) skips the corpus scan entirely —
+    # the filter-once/probe-many tier; the caller owns the guarantee that
+    # it was built over THIS corpus's key column
+    bloom = prebuilt or build_bloom(
         corpus.select(key_col), key_col,
         expected_items=expected_items, fpp=fpp, merge_groups=merge_groups,
     )

@@ -267,10 +267,12 @@ def build_training_corpus(
 
 
 def dedup_increment(
-    corpus_docs: DataFrame,
+    corpus_docs: DataFrame | None,
     increment_docs: DataFrame,
     *,
     expected_corpus_docs: int,
+    corpus_bloom=None,
+    corpus_fingerprints: DataFrame | None = None,
     minhash_index_dir: str | None = None,
     threshold: float = 0.8,
     fpp: float = 1e-3,
@@ -279,26 +281,32 @@ def dedup_increment(
     scratch_dir: str | None = None,
 ) -> DataFrame:
     """The incremental-ingestion composition: rows of ``increment_docs``
-    that are NOVEL against an existing corpus — without re-reading the
-    corpus text. The daily-crawl shape at 10^12 docs: the corpus
-    contributes a fixed-size Bloom bitmap (one historical scan, reusable
-    via ``bloom.save_bloom``) and, optionally, its persisted
-    ``dedup.minhash_index`` tables; only the increment's text is scanned,
+    that are NOVEL against an existing corpus. The daily-crawl shape at
+    10^12 docs: the corpus contributes a fixed-size Bloom bitmap and a
+    fingerprint table — BOTH persistable (``bloom.save_bloom`` /
+    a parquet of ``dedup.content_fingerprint`` values), so with
+    ``corpus_bloom`` + ``corpus_fingerprints`` supplied the corpus TEXT
+    is never touched; passing only ``corpus_docs`` derives both from it
+    (one corpus text scan for the bitmap build and one for the verify
+    join — correct, but not the incremental cost model, and the reason
+    the prebuilt parameters exist). Only the increment's text is ever
     normalized, shingled, and signed.
 
     1. EXACT — within-increment duplicates collapse first
-       (``exact_dedup_survivors``'s min-key rule), then a Bloom filter
-       over the corpus's normalized-text fingerprint drops every
-       increment row whose exact content already exists
-       (``exact_verify=True`` inside ``bloom_dedup_increment`` keeps the
-       anti-join equality exact — only the ~fpp candidate sliver pays a
-       join against the corpus FINGERPRINTS, never its text).
+       (``exact_dedup_survivors``'s min-key rule), then the corpus Bloom
+       filter drops every increment row whose exact content already
+       exists (``exact_verify=True`` keeps the anti-join equality exact —
+       only the ~fpp candidate sliver joins the corpus FINGERPRINTS).
     2. NEAR (when ``minhash_index_dir`` is given) —
-       ``minhash_lsh_pairs_incremental`` against the prebuilt index:
-       an increment doc pairing with a CORPUS doc drops outright; pairs
-       WITHIN the increment collapse transitively via connected
-       components (``graph.connected_components`` — A~B, B~C must not
-       keep both A and C), min doc_id per cluster survives.
+       ``minhash_lsh_pairs_incremental`` against the prebuilt index,
+       resolved with BATCH semantics: connected components run over ALL
+       within-increment pairs, and a cluster with ANY member that
+       near-matches the corpus drops WHOLLY (the corpus already holds a
+       representative of that content — exactly what a full rebuild's CC
+       over the union would decide; pre-filtering the edges instead
+       would break transitivity whenever the bridge doc is the one that
+       matched the corpus, r5 review, reproduced). Untainted clusters
+       keep their min doc_id.
 
     ids must be unique across corpus and increment (the pipeline's
     xxhash64(url) key). Output: the surviving increment rows, original
@@ -306,28 +314,45 @@ def dedup_increment(
     pipeline orders exact before line dedup: it shrinks what the
     (costlier) near-dup stage must sign.
     """
-    from mistral_ocr_spark.operators.bloom import bloom_dedup_increment
+    from mistral_ocr_spark.operators.bloom import bloom_dedup_increment, build_bloom
     from mistral_ocr_spark.operators.graph import connected_components
 
+    if "_fp" in increment_docs.columns:
+        raise ValueError(
+            "dedup_increment: increment_docs carries a column named '_fp', "
+            "which collides with the internal fingerprint helper"
+        )
+    if corpus_fingerprints is None and corpus_docs is None:
+        raise ValueError(
+            "dedup_increment: pass corpus_docs, or the prebuilt "
+            "corpus_fingerprints (+ optionally corpus_bloom)"
+        )
     spark = increment_docs.sparkSession
     scratch = scratch_dir or scratch_table_dir(spark)
-    norm = F.md5(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
 
     inc = D.exact_dedup_survivors(increment_docs, text_col=text_col, key_col=key_col)
-    inc = inc.withColumn("_fp", norm)
-    corpus_fp = corpus_docs.select(
-        F.md5(
-            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
-        ).alias("_fp")
-    )
+    inc = inc.withColumn("_fp", D.content_fingerprint(text_col))
+    if corpus_fingerprints is None:
+        corpus_fingerprints = corpus_docs.select(
+            D.content_fingerprint(text_col).alias("_fp")
+        )
+    else:
+        corpus_fingerprints = corpus_fingerprints.select(
+            F.col(corpus_fingerprints.columns[0]).alias("_fp")
+        )
+    if corpus_bloom is None:
+        corpus_bloom = build_bloom(
+            corpus_fingerprints, "_fp", expected_items=expected_corpus_docs, fpp=fpp
+        )
     novel = bloom_dedup_increment(
-        corpus_fp,
+        corpus_fingerprints,
         inc,
         "_fp",
         expected_items=expected_corpus_docs,
         fpp=fpp,
         exact_verify=True,
         scratch_dir=scratch,
+        prebuilt=corpus_bloom,
     ).drop("_fp")
     if minhash_index_dir is None:
         return novel
@@ -349,7 +374,8 @@ def dedup_increment(
     pairs.write.mode("overwrite").parquet(f"{scratch}/inc_pairs.parquet")
     pairs = spark.read.parquet(f"{scratch}/inc_pairs.parquet")
     inc_ids = novel.select(F.col(key_col).alias("_iid"))
-    # a pair is corpus-vs-increment iff exactly one side is an increment id
+    # a pair is within-increment iff BOTH sides are increment ids; any
+    # other pair names a corpus member
     a_inc = pairs.join(inc_ids, pairs["id_a"] == inc_ids["_iid"], "left_semi")
     b_inc = pairs.join(inc_ids, pairs["id_b"] == inc_ids["_iid"], "left_semi")
     both = a_inc.select("id_a", "id_b").intersect(b_inc.select("id_a", "id_b"))
@@ -363,19 +389,36 @@ def dedup_increment(
         .join(inc_ids, F.col("_did") == F.col("_iid"), "left_semi")
         .distinct()
     )
-    survivors = novel.join(
-        drop_vs_corpus, novel[key_col] == drop_vs_corpus["_did"], "left_anti"
+    # join hubs: `both` feeds CC and the taint join; `drop_vs_corpus`
+    # feeds the taint join and the final anti-join — materialize each
+    # once (the module's checkpoint discipline; r5 review)
+    both.write.mode("overwrite").parquet(f"{scratch}/inc_within.parquet")
+    both = spark.read.parquet(f"{scratch}/inc_within.parquet")
+    drop_vs_corpus.write.mode("overwrite").parquet(f"{scratch}/inc_vs_corpus.parquet")
+    drop_vs_corpus = spark.read.parquet(f"{scratch}/inc_vs_corpus.parquet")
+
+    # BATCH semantics: CC over ALL within pairs (edges through
+    # corpus-dropped bridges included), then a cluster containing any
+    # corpus-matching member drops wholly; untainted clusters keep min id
+    clusters = connected_components(both, scratch_dir=scratch)
+    tainted = (
+        clusters.join(
+            drop_vs_corpus, clusters["node"] == drop_vs_corpus["_did"], "left_semi"
+        )
+        .select("cluster_id")
+        .distinct()
     )
-    # transitive within-increment collapse: min id per duplicate cluster
-    within = both.join(
-        drop_vs_corpus, both["id_a"] == drop_vs_corpus["_did"], "left_anti"
-    ).join(drop_vs_corpus, F.col("id_b") == drop_vs_corpus["_did"], "left_anti")
-    clusters = connected_components(
-        within.select("id_a", "id_b"), scratch_dir=scratch
+    cluster_drops = (
+        clusters.join(tainted, "cluster_id", "left_semi")
+        .select(F.col("node").alias("_lid"))
+        .union(
+            clusters.filter(F.col("node") != F.col("cluster_id")).select(
+                F.col("node").alias("_lid")
+            )
+        )
+        .union(drop_vs_corpus.select(F.col("_did").alias("_lid")))
+        .distinct()
     )
-    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
-        F.col("node").alias("_lid")
-    )
-    return survivors.join(
-        losers, survivors[key_col] == losers["_lid"], "left_anti"
+    return novel.join(
+        cluster_drops, novel[key_col] == cluster_drops["_lid"], "left_anti"
     )

@@ -82,12 +82,21 @@ def _perm_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarra
 # exact dedup
 # ---------------------------------------------------------------------------
 
+def content_fingerprint(text_col: str = "text") -> "F.Column":
+    """THE exact-dedup identity: md5 of the whitespace-normalized text.
+    Every consumer (exact_dedup, exact_dedup_survivors, the corpus
+    pipeline's Bloom stage) must share this one definition — two
+    hand-copied normalizations silently stop matching the moment one
+    drifts (r5 review)."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return F.md5(norm)
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Group identical (whitespace-normalized) texts; keep min key as the
     representative. Pure hash aggregation: map-side partial agg for free."""
-    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return (
-        docs.select(F.col(key_col), F.md5(norm).alias("fingerprint"))
+        docs.select(F.col(key_col), content_fingerprint(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.min(key_col).alias("keeper_id"),
@@ -109,8 +118,7 @@ def exact_dedup_survivors(
     full-row join shuffle plus the separate aggregate)."""
     from pyspark.sql import Window
 
-    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    w = Window.partitionBy(F.md5(norm)).orderBy(F.col(key_col))
+    w = Window.partitionBy(content_fingerprint(text_col)).orderBy(F.col(key_col))
     return (
         docs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -326,3 +326,99 @@ def test_dedup_increment_against_indexed_corpus(spark, tmp_path):
         for r in dedup_increment(corpus, increment, expected_corpus_docs=3).collect()
     )
     assert got2 == [102, 103, 106, 108, 109, 110]
+
+
+def test_dedup_increment_corpus_tainted_cluster_drops_wholly(spark, tmp_path):
+    """Batch semantics for the near stage: if the BRIDGE of a within-
+    increment chain near-matches the corpus, the whole cluster drops —
+    pre-filtering the chain's edges would keep both ends (r5 review,
+    reproduced)."""
+    from mistral_ocr_spark.operators.corpus import dedup_increment
+    from mistral_ocr_spark.operators.dedup import minhash_index
+
+    words = [f"w{i}" for i in range(60)]
+
+    def variant(base, changes):
+        w = list(base)
+        for pos, val in changes.items():
+            w[pos] = val
+        return " ".join(w)
+
+    def jac3(a, b):
+        sh = lambda t: {tuple(t.split()[i:i + 3]) for i in range(len(t.split()) - 2)}
+        A, B = sh(a), sh(b)
+        return len(A & B) / len(A | B)
+
+    tx = " ".join(words)                                        # corpus X
+    tb = variant(words, {i: f"p{i}" for i in range(3)})         # B ~ X
+    ta = variant(tb.split(), {i: f"a{i}" for i in range(54, 60)})   # A ~ B
+    tc = variant(tb.split(), {i: f"c{i}" for i in range(48, 52)})   # C ~ B
+    # the planted geometry: B bridges A and C AND touches the corpus;
+    # neither end touches the corpus or the other end directly
+    assert jac3(tb, tx) >= 0.8
+    assert jac3(ta, tb) >= 0.8 and jac3(tc, tb) >= 0.8
+    assert jac3(ta, tx) < 0.8 and jac3(tc, tx) < 0.8 and jac3(ta, tc) < 0.8
+
+    unique = "wholly unrelated " + " ".join(f"z{i}" for i in range(40))
+    corpus = spark.createDataFrame([(1, tx)], "doc_id long, text string")
+    increment = spark.createDataFrame(
+        [(101, ta), (102, tb), (103, tc), (105, unique)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "mh_idx2")
+    minhash_index(corpus, idx)
+    got = sorted(
+        r.doc_id
+        for r in dedup_increment(
+            corpus, increment,
+            expected_corpus_docs=1, minhash_index_dir=idx, threshold=0.8,
+        ).collect()
+    )
+    assert got == [105], f"tainted cluster must drop wholly, got {got}"
+
+
+def test_dedup_increment_prebuilt_artifacts(spark, tmp_path):
+    """With corpus_bloom + corpus_fingerprints the corpus text is never
+    touched: corpus_docs=None works and the answer matches the
+    corpus_docs path."""
+    from mistral_ocr_spark.operators.bloom import build_bloom, load_bloom, save_bloom
+    from mistral_ocr_spark.operators.corpus import dedup_increment
+    from mistral_ocr_spark.operators.dedup import content_fingerprint
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} " + " ".join(f"x{i}y{j}" for j in range(20)))
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    increment = spark.createDataFrame(
+        [(101, corpus.collect()[2].text), (102, "fresh content entirely new")],
+        "doc_id long, text string",
+    )
+    fp_dir = str(tmp_path / "corpus_fp")
+    corpus.select(content_fingerprint("text").alias("fp")).write.parquet(fp_dir)
+    fps = spark.read.parquet(fp_dir)
+    bloom = build_bloom(fps, "fp", expected_items=5)
+    bpath = str(tmp_path / "corpus_bloom")
+    save_bloom(spark, bloom, bpath)
+
+    via_artifacts = sorted(
+        r.doc_id
+        for r in dedup_increment(
+            None, increment,
+            expected_corpus_docs=5,
+            corpus_bloom=load_bloom(spark, bpath),
+            corpus_fingerprints=fps,
+        ).collect()
+    )
+    via_docs = sorted(
+        r.doc_id
+        for r in dedup_increment(corpus, increment, expected_corpus_docs=5).collect()
+    )
+    assert via_artifacts == via_docs == [102]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="corpus_docs"):
+        dedup_increment(None, increment, expected_corpus_docs=5)
+    with _pytest.raises(ValueError, match="_fp"):
+        dedup_increment(
+            corpus, increment.withColumn("_fp", F.lit("x")), expected_corpus_docs=5
+        )
