@@ -18,7 +18,10 @@ Beyond the reference's verbs: ``export`` (download tree), ``cancel``
 removal), ``results --as-of`` (time travel), ``neardup-index`` /
 ``neardup`` (persisted MinHash index + incremental near-dup pairs over
 extracted text), ``lm-train`` / ``lm-score`` (CCNet-style bigram-LM
-perplexity triage of extracted text).
+perplexity triage of extracted text), ``ingest`` (append a new batch
+deduplicated against the committed corpus — exact via Bloom, near via
+the MinHash index), ``submit --robots`` (REP permission filter before
+extraction).
 
 Usage: python -m mistral_ocr_spark.cli <verb> [...]
 """
@@ -248,6 +251,49 @@ def cmd_files(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Append a NEW crawl batch to an existing table, deduplicating
+    against the committed corpus first (operators/corpus.py::
+    dedup_increment): exact duplicates drop via a Bloom filter over the
+    corpus's content fingerprints; with ``--neardup-index`` (a
+    ``neardup-index`` dir built over this table) near-duplicates drop via
+    the incremental MinHash tier. Only the surviving pages run the
+    pipeline. The increment is extracted twice (once for the dedup
+    decision, once inside the committed run) — extraction is the cheap
+    in-cluster leg, and the second pass touches only the survivors."""
+    from mistral_ocr_spark.operators.corpus import dedup_increment
+    from mistral_ocr_spark.operators.extract import extract_pages
+    from mistral_ocr_spark import pipeline
+
+    spark = get_spark(app_name="ocr-ingest")
+    corpus = (
+        catalog.read_extracted_latest(spark, args.table)
+        .filter(F.col("error_class").isNull() & (F.length("text") > 0))
+        .select(F.xxhash64("url").alias("doc_id"), "text")
+    )
+    n_corpus = corpus.count()
+    pages = spark.read.parquet(args.pages)
+    inc = (
+        extract_pages(pages)
+        .filter(F.col("error_class").isNull() & (F.length("text") > 0))
+        .select(F.xxhash64("url").alias("doc_id"), "url", "text")
+    )
+    novel = dedup_increment(
+        corpus,
+        inc,
+        expected_corpus_docs=max(n_corpus, 1),
+        minhash_index_dir=args.neardup_index,
+        threshold=args.threshold,
+    )
+    pages_novel = pages.join(novel.select("url"), "url", "left_semi")
+    stats = pipeline.run(
+        spark, pages_novel, args.table, run_id=args.run_id, n_chunks=args.chunks
+    )
+    stats["corpus_docs_before"] = n_corpus
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_neardup_index(args) -> int:
     """Build the persisted MinHash near-dup index over a table's extracted
     text (the query-many tier — operators/dedup.py::minhash_index). Keyed
@@ -423,6 +469,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--dest", required=True)
     s.add_argument("--limit", type=int, default=1000)
     s.set_defaults(func=cmd_export)
+
+    s = sub.add_parser("ingest", help="append a new batch, deduplicated against the table")
+    s.add_argument("--table", required=True)
+    s.add_argument("--pages", required=True, help="new-batch pages parquet dir")
+    s.add_argument("--run-id", default="ingest-0001")
+    s.add_argument("--chunks", type=int, default=4)
+    s.add_argument("--neardup-index", default=None,
+                   help="neardup-index dir for the near-duplicate tier (optional)")
+    s.add_argument("--threshold", type=float, default=0.8)
+    s.set_defaults(func=cmd_ingest)
 
     s = sub.add_parser("neardup-index", help="build the persisted MinHash near-dup index")
     s.add_argument("--table", required=True)

@@ -216,3 +216,52 @@ def test_cli_submit_with_robots_filter(table, capsys):
     ]) == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["docs"] == n_total - n_blocked
+
+
+def test_cli_ingest_dedups_against_table(table, capsys):
+    """ingest appends only the batch's novel documents: re-crawled pages
+    (same extracted text) drop against the committed corpus."""
+    from pyspark.sql import SparkSession
+
+    from mistral_ocr_spark.sources.fixtures import generate_pages
+
+    tbl, root = table
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    first = f"{root}/pages1"
+    generate_pages(spark, 200).write.mode("overwrite").parquet(first)
+    assert cli.main(["submit", "--table", tbl, "--pages", first, "--chunks", "1"]) == 0
+    base_stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert base_stats["docs"] == 200
+
+    # batch 2 = the same 200 pages (deterministic generator prefix) + 100 new
+    second = f"{root}/pages2"
+    generate_pages(spark, 300).write.mode("overwrite").parquet(second)
+    assert cli.main([
+        "ingest", "--table", tbl, "--pages", second,
+        "--run-id", "ingest-0001", "--chunks", "1",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["corpus_docs_before"] > 0
+    # only the new tail ingests: every re-crawled page dropped as an
+    # exact duplicate of committed content (error-class pages excluded
+    # from both sides, so the count is <= 100 and > 0)
+    assert 0 < stats["docs"] <= 100
+
+    from mistral_ocr_spark.sources import catalog as cat
+    total = (
+        cat.read_extracted_latest(spark, tbl)
+        .filter("error_class IS NULL")
+        .count()
+    )
+    # no duplicate texts in the committed table after ingest
+    from pyspark.sql import functions as F
+    dups = (
+        cat.read_extracted_latest(spark, tbl)
+        .filter("error_class IS NULL AND length(text) > 0")
+        .groupBy(F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))))
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dups == 0
+    assert total >= 200
