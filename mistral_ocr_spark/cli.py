@@ -251,45 +251,133 @@ def cmd_files(args) -> int:
     return 0
 
 
+def _corpus_docs(spark, table):
+    """THE corpus selection every dedup-adjacent verb shares — one
+    predicate and one key convention (error-free, non-empty extracted
+    text; doc_id = xxhash64(url), the corpus-pipeline key): the exact
+    tier's corpus, the near tier's index, and the LM's training text must
+    be defined identically or the tiers silently dedup against different
+    corpora (the content_fingerprint one-definition rule, r5 review)."""
+    return (
+        catalog.read_extracted_latest(spark, table)
+        .filter(F.col("error_class").isNull() & (F.length("text") > 0))
+        .select(F.xxhash64("url").alias("doc_id"), "url", "text")
+    )
+
+
 def cmd_ingest(args) -> int:
     """Append a NEW crawl batch to an existing table, deduplicating
     against the committed corpus first (operators/corpus.py::
     dedup_increment): exact duplicates drop via a Bloom filter over the
     corpus's content fingerprints; with ``--neardup-index`` (a
     ``neardup-index`` dir built over this table) near-duplicates drop via
-    the incremental MinHash tier. Only the surviving pages run the
-    pipeline. The increment is extracted twice (once for the dedup
-    decision, once inside the committed run) — extraction is the cheap
-    in-cluster leg, and the second pass touches only the survivors."""
+    the incremental MinHash tier.
+
+    Contract:
+    - ingest appends NEW urls only — urls already committed are skipped
+      outright (updating a re-crawled url is ``submit``'s job: latest-wins
+      upsert semantics); this also keeps dedup_increment's id-uniqueness
+      precondition intact;
+    - within the batch, one snapshot per url proceeds (latest warc_ts,
+      deterministic tiebreak) — the corpus pipeline's recrawl-collapse
+      rule;
+    - error-class / empty pages are NOT silently discarded: they flow to
+      the committed run so failure counters, lineage, and the error side
+      channel see them — only pages POSITIVELY identified as duplicates
+      (or as already-committed urls) are withheld;
+    - the near tier dedups against the index AS BUILT: rebuild
+      ``neardup-index`` periodically (after ingests) or near-duplicates
+      of recently ingested batches go unseen — the exact tier has no such
+      lag (its filter derives from the live table every run); the stats
+      line reports which index dir decided;
+    - ``--run-id`` defaults to a hash of the batch path, so re-running
+      the SAME batch resumes its half-committed chunks while a different
+      batch gets its own run (a fixed default would mark every later
+      batch's chunks "already committed" and silently ingest nothing);
+    - the increment is extracted twice (decision pass + committed run) —
+      extraction is the cheap in-cluster leg, and the second pass touches
+      only the survivors.
+    """
+    import hashlib
+
+    from pyspark.sql import Window
+
     from mistral_ocr_spark.operators.corpus import dedup_increment
+    from mistral_ocr_spark.operators.dedup import scratch_table_dir
     from mistral_ocr_spark.operators.extract import extract_pages
     from mistral_ocr_spark import pipeline
 
     spark = get_spark(app_name="ocr-ingest")
-    corpus = (
-        catalog.read_extracted_latest(spark, args.table)
-        .filter(F.col("error_class").isNull() & (F.length("text") > 0))
-        .select(F.xxhash64("url").alias("doc_id"), "text")
+    scratch = scratch_table_dir(spark)
+    run_id = args.run_id or (
+        "ingest-" + hashlib.md5(args.pages.encode()).hexdigest()[:10]
     )
-    n_corpus = corpus.count()
+
+    # corpus selection materialized ONCE: every downstream consumer (url
+    # anti-join, bloom build, verify join) reads this scratch parquet
+    # instead of re-running the full-table latest-wins window per chunk
+    _corpus_docs(spark, args.table).write.mode("overwrite").parquet(
+        f"{scratch}/ingest_corpus.parquet"
+    )
+    corpus = spark.read.parquet(f"{scratch}/ingest_corpus.parquet")
+    n_corpus = corpus.count()  # a count on the compact scratch table
+    # the "already committed" url set is EVERY committed url — including
+    # error rows, which _corpus_docs excludes from the dedup corpus: an
+    # error page's url must not re-commit on every later batch it appears
+    # in (its failure is already recorded; resubmitting it is submit's
+    # explicit retry path, not ingest's)
+    catalog.read_extracted_latest(spark, args.table).select("url").distinct() \
+        .write.mode("overwrite").parquet(f"{scratch}/ingest_committed_urls.parquet")
+    committed_urls = spark.read.parquet(f"{scratch}/ingest_committed_urls.parquet")
+
     pages = spark.read.parquet(args.pages)
+    # one snapshot per url: latest warc_ts, content-hash tiebreak
+    w = Window.partitionBy("url").orderBy(
+        F.desc_nulls_last("warc_ts"), F.xxhash64("html")
+    )
+    pages_one = (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     inc = (
-        extract_pages(pages)
+        extract_pages(pages_one)
         .filter(F.col("error_class").isNull() & (F.length("text") > 0))
         .select(F.xxhash64("url").alias("doc_id"), "url", "text")
+        # new urls only (see contract) — also guarantees ids are unique
+        # across corpus and increment for dedup_increment
+        .join(committed_urls, "url", "left_anti")
     )
+    inc.write.mode("overwrite").parquet(f"{scratch}/ingest_inc.parquet")
+    inc = spark.read.parquet(f"{scratch}/ingest_inc.parquet")
     novel = dedup_increment(
-        corpus,
+        corpus.select("doc_id", "text"),
         inc,
         expected_corpus_docs=max(n_corpus, 1),
         minhash_index_dir=args.neardup_index,
         threshold=args.threshold,
+        scratch_dir=scratch,
     )
-    pages_novel = pages.join(novel.select("url"), "url", "left_semi")
+    # withhold ONLY positively-identified duplicates and already-committed
+    # urls; error/empty pages (urls absent from `inc`) flow to the run so
+    # failure accounting still happens
+    drop_urls = (
+        inc.select("url")
+        .subtract(novel.select("url"))
+        .unionByName(
+            pages_one.select("url").join(committed_urls, "url", "left_semi")
+        )
+        .distinct()
+    )
+    drop_urls.write.mode("overwrite").parquet(f"{scratch}/ingest_drop.parquet")
+    drop_urls = spark.read.parquet(f"{scratch}/ingest_drop.parquet")
+    pages_novel = pages_one.join(drop_urls, "url", "left_anti")
     stats = pipeline.run(
-        spark, pages_novel, args.table, run_id=args.run_id, n_chunks=args.chunks
+        spark, pages_novel, args.table, run_id=run_id, n_chunks=args.chunks
     )
     stats["corpus_docs_before"] = n_corpus
+    stats["skipped_duplicate_or_committed_urls"] = drop_urls.count()
+    stats["neardup_index"] = args.neardup_index
     print(json.dumps(stats))
     return 0
 
@@ -303,11 +391,7 @@ def cmd_neardup_index(args) -> int:
     from mistral_ocr_spark.operators.dedup import minhash_index
 
     spark = get_spark(app_name="ocr-neardup-index")
-    ext = (
-        catalog.read_extracted_latest(spark, args.table)
-        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
-        .select(F.xxhash64("url").alias("doc_id"), "text")
-    )
+    ext = _corpus_docs(spark, args.table).select("doc_id", "text")
     minhash_index(
         ext, args.index,
         num_hashes=args.num_hashes, bands=args.bands,
@@ -327,11 +411,7 @@ def cmd_neardup(args) -> int:
     from mistral_ocr_spark.operators.dedup import minhash_lsh_pairs_incremental
 
     spark = get_spark(app_name="ocr-neardup")
-    ext = (
-        catalog.read_extracted_latest(spark, args.table)
-        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
-        .select(F.xxhash64("url").alias("doc_id"), "url", "text")
-    )
+    ext = _corpus_docs(spark, args.table)
     pairs = minhash_lsh_pairs_incremental(
         ext.select("doc_id", "text"), args.index, threshold=args.threshold,
         include_new_new=not args.no_new_new,
@@ -362,11 +442,7 @@ def cmd_lm_train(args) -> int:
     from mistral_ocr_spark.operators.textstats import ngram_lm_train
 
     spark = get_spark(app_name="ocr-lm-train")
-    ext = (
-        catalog.read_extracted_latest(spark, args.table)
-        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
-        .select("url", "text")
-    )
+    ext = _corpus_docs(spark, args.table).select("url", "text")
     ngram_lm_train(ext, args.lm, id_col="url", min_count=args.min_count)
     stats = spark.read.parquet(f"{args.lm}/stats").collect()[0]
     print(json.dumps({
@@ -473,7 +549,9 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("ingest", help="append a new batch, deduplicated against the table")
     s.add_argument("--table", required=True)
     s.add_argument("--pages", required=True, help="new-batch pages parquet dir")
-    s.add_argument("--run-id", default="ingest-0001")
+    s.add_argument("--run-id", default=None,
+                   help="default: derived from the batch path, so re-running the "
+                   "same batch resumes and a different batch gets its own run")
     s.add_argument("--chunks", type=int, default=4)
     s.add_argument("--neardup-index", default=None,
                    help="neardup-index dir for the near-duplicate tier (optional)")

@@ -265,3 +265,55 @@ def test_cli_ingest_dedups_against_table(table, capsys):
     )
     assert dups == 0
     assert total >= 200
+
+
+def test_cli_ingest_successive_batches_and_resume(table, capsys):
+    """(1) Re-ingesting the SAME batch is a no-op (resume semantics);
+    (2) a DIFFERENT later batch still commits (per-batch run ids — a
+    fixed default would mark its chunks already-committed and silently
+    drop it); (3) a batch carrying the same url twice commits at most
+    one snapshot of it."""
+    from pyspark.sql import SparkSession
+
+    from mistral_ocr_spark.sources.fixtures import generate_pages
+
+    tbl, root = table
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    first = f"{root}/pages1"
+    generate_pages(spark, 150).write.mode("overwrite").parquet(first)
+    assert cli.main(["submit", "--table", tbl, "--pages", first, "--chunks", "1"]) == 0
+    capsys.readouterr()
+
+    second = f"{root}/pages2"
+    generate_pages(spark, 200).write.mode("overwrite").parquet(second)
+    assert cli.main(["ingest", "--table", tbl, "--pages", second, "--chunks", "1"]) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < s1["docs"] <= 50
+
+    # same batch again -> nothing new (urls committed; run id resumes)
+    assert cli.main(["ingest", "--table", tbl, "--pages", second, "--chunks", "1"]) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["docs"] == 0
+
+    # a LATER batch must still commit under its own run id
+    third = f"{root}/pages3"
+    generate_pages(spark, 230).write.mode("overwrite").parquet(third)
+    assert cli.main(["ingest", "--table", tbl, "--pages", third, "--chunks", "1"]) == 0
+    s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < s3["docs"] <= 30
+
+    # duplicate urls within one batch: at most one snapshot commits
+    fourth = f"{root}/pages4"
+    p = generate_pages(spark, 245)
+    p.unionByName(p).write.mode("overwrite").parquet(fourth)
+    assert cli.main(["ingest", "--table", tbl, "--pages", fourth, "--chunks", "1"]) == 0
+    s4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < s4["docs"] <= 15
+
+    from pyspark.sql import functions as F
+    from mistral_ocr_spark.sources import catalog as cat
+    per_url = (
+        cat.read_extracted(spark, tbl)
+        .groupBy("url").count().filter("count > 1").count()
+    )
+    assert per_url == 0  # no url ever committed twice across the runs
