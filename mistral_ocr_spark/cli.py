@@ -313,20 +313,24 @@ def cmd_ingest(args) -> int:
         "ingest-" + hashlib.md5(args.pages.encode()).hexdigest()[:10]
     )
 
-    # corpus selection materialized ONCE: every downstream consumer (url
-    # anti-join, bloom build, verify join) reads this scratch parquet
-    # instead of re-running the full-table latest-wins window per chunk
-    _corpus_docs(spark, args.table).write.mode("overwrite").parquet(
-        f"{scratch}/ingest_corpus.parquet"
-    )
-    corpus = spark.read.parquet(f"{scratch}/ingest_corpus.parquet")
-    n_corpus = corpus.count()  # a count on the compact scratch table
+    # the corpus contributes ONLY its content fingerprints (one narrow
+    # column, materialized once) — never its text (dedup_increment's
+    # prebuilt-artifact path); n_corpus is a count on that compact table
+    from mistral_ocr_spark.operators.dedup import content_fingerprint
+
+    _corpus_docs(spark, args.table).select(
+        content_fingerprint("text").alias("fp")
+    ).write.mode("overwrite").parquet(f"{scratch}/ingest_corpus_fp.parquet")
+    corpus_fp = spark.read.parquet(f"{scratch}/ingest_corpus_fp.parquet")
+    n_corpus = corpus_fp.count()
     # the "already committed" url set is EVERY committed url — including
     # error rows, which _corpus_docs excludes from the dedup corpus: an
     # error page's url must not re-commit on every later batch it appears
     # in (its failure is already recorded; resubmitting it is submit's
-    # explicit retry path, not ingest's)
-    catalog.read_extracted_latest(spark, args.table).select("url").distinct() \
+    # explicit retry path, not ingest's). Plain read + distinct: the
+    # latest-wins window would cost a full-table sort for an identical
+    # url set (review).
+    catalog.read_extracted(spark, args.table).select("url").distinct() \
         .write.mode("overwrite").parquet(f"{scratch}/ingest_committed_urls.parquet")
     committed_urls = spark.read.parquet(f"{scratch}/ingest_committed_urls.parquet")
 
@@ -339,45 +343,59 @@ def cmd_ingest(args) -> int:
         pages.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        # new urls only (see contract), decided BEFORE extraction so the
+        # decision pass never extracts already-committed urls (a re-run
+        # of an ingested batch would otherwise re-extract everything just
+        # to discard it — review). Distinct urls also keep doc_ids unique
+        # across corpus and increment up to 64-bit xxhash64 collisions
+        # (the corpus.py expectation: thousands at 10^12 urls; one
+        # collision can misclassify one near-dup pair — accepted odds).
+        .join(committed_urls, "url", "left_anti")
     )
+    pages_one.write.mode("overwrite").parquet(f"{scratch}/ingest_pages.parquet")
+    pages_one = spark.read.parquet(f"{scratch}/ingest_pages.parquet")
     inc = (
         extract_pages(pages_one)
         .filter(F.col("error_class").isNull() & (F.length("text") > 0))
         .select(F.xxhash64("url").alias("doc_id"), "url", "text")
-        # new urls only (see contract) — also guarantees ids are unique
-        # across corpus and increment for dedup_increment
-        .join(committed_urls, "url", "left_anti")
     )
     inc.write.mode("overwrite").parquet(f"{scratch}/ingest_inc.parquet")
     inc = spark.read.parquet(f"{scratch}/ingest_inc.parquet")
     novel = dedup_increment(
-        corpus.select("doc_id", "text"),
+        None,
         inc,
         expected_corpus_docs=max(n_corpus, 1),
+        corpus_fingerprints=corpus_fp,
         minhash_index_dir=args.neardup_index,
         threshold=args.threshold,
         scratch_dir=scratch,
     )
-    # withhold ONLY positively-identified duplicates and already-committed
-    # urls; error/empty pages (urls absent from `inc`) flow to the run so
-    # failure accounting still happens
-    drop_urls = (
-        inc.select("url")
-        .subtract(novel.select("url"))
-        .unionByName(
-            pages_one.select("url").join(committed_urls, "url", "left_semi")
-        )
-        .distinct()
-    )
+    # withhold ONLY positively-identified duplicates; error/empty pages
+    # (urls absent from `inc`) flow to the run so failure accounting
+    # still happens
+    drop_urls = inc.select("url").subtract(novel.select("url")).distinct()
     drop_urls.write.mode("overwrite").parquet(f"{scratch}/ingest_drop.parquet")
     drop_urls = spark.read.parquet(f"{scratch}/ingest_drop.parquet")
-    pages_novel = pages_one.join(drop_urls, "url", "left_anti")
+    # checkpoint the final page set: pipeline.run triggers one action per
+    # chunk, and each would otherwise re-run the per-url window + joins
+    pages_one.join(drop_urls, "url", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(f"{scratch}/ingest_pages_novel.parquet")
+    pages_novel = spark.read.parquet(f"{scratch}/ingest_pages_novel.parquet")
     stats = pipeline.run(
         spark, pages_novel, args.table, run_id=run_id, n_chunks=args.chunks
     )
     stats["corpus_docs_before"] = n_corpus
-    stats["skipped_duplicate_or_committed_urls"] = drop_urls.count()
+    stats["skipped_duplicate_urls"] = drop_urls.count()
     stats["neardup_index"] = args.neardup_index
+    if stats.get("chunks_skipped") and not stats.get("docs"):
+        # path-derived run ids resume the SAME batch; if this path now
+        # holds NEW content, the skip is wrong and must be loud (review:
+        # a reused staging path would otherwise drop batches silently)
+        stats["warning"] = (
+            f"all chunks previously committed under run id '{run_id}' — "
+            "if this path now holds a NEW batch, pass an explicit --run-id"
+        )
     print(json.dumps(stats))
     return 0
 
