@@ -662,28 +662,48 @@ def minhash_lsh_pairs_incremental(
 # ---------------------------------------------------------------------------
 
 def _simhash_batch_fn():
-    """numpy bit-majority over JVM-prehashed words: per doc, count set bits
-    per position across all word hashes (one vectorized matrix op), take
-    the strict majority, pack into two 32-bit halves. No per-word Python."""
+    """numpy bit-majority over JVM-prehashed words, vectorized across the
+    WHOLE Arrow batch (r6: the r5 version looped per doc — ~50 µs of
+    numpy-call overhead × n_docs dominated the signature stage). The list
+    column arrives as one flat child array plus offsets, so the per-bit
+    counts for every doc in the batch are a single ``np.add.reduceat``
+    over the flat word-hash array — zero per-doc Python."""
+    import pyarrow as pa
+
     shifts = np.arange(32, dtype=np.int64)
     pow2 = 1 << np.arange(32, dtype=np.int64)
 
+    def half_sigs(col: "pa.Array", n_rows: int) -> np.ndarray:
+        """32-bit majority signature per row of a list<int64> column."""
+        sig = np.zeros(n_rows, dtype=np.int64)
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.diff(offsets)
+        valid = n > 0
+        if col.null_count:
+            valid &= np.asarray(col.is_valid())  # NULL text → all-zero sig
+        if not valid.any():
+            return sig
+        starts = offsets[:-1][valid]
+        bits = (flat[:, None] >> shifts) & 1  # (total_words, 32)
+        # reduceat segment i spans [starts[i], starts[i+1]): exactly row
+        # i's words (skipped empty/null rows contribute no flat elements)
+        cnts = np.add.reduceat(bits, starts, axis=0)  # (n_valid, 32)
+        sig[valid] = ((cnts * 2 > n[valid][:, None]) * pow2).sum(axis=1)
+        return sig
+
     def fn(batches):
-        for pdf in batches:
-            los, his = [], []
-            for a, b in zip(pdf["wlo"], pdf["whi"]):
-                if a is None or b is None:  # NULL text → all-zero signature
-                    los.append(0)
-                    his.append(0)
-                    continue
-                lo = np.asarray(a, dtype=np.int64)
-                hi = np.asarray(b, dtype=np.int64)
-                n = len(lo)
-                cl = ((lo[:, None] >> shifts) & 1).sum(axis=0)
-                ch = ((hi[:, None] >> shifts) & 1).sum(axis=0)
-                los.append(int(((cl * 2 > n) * pow2).sum()))
-                his.append(int(((ch * 2 > n) * pow2).sum()))
-            yield pd.DataFrame({"id": pdf["id"], "sim_lo": los, "sim_hi": his})
+        for batch in batches:
+            los = half_sigs(batch.column(1), batch.num_rows)
+            his = half_sigs(batch.column(2), batch.num_rows)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(los, type=pa.int64()),
+                    pa.array(his, type=pa.int64()),
+                ],
+                names=["id", "sim_lo", "sim_hi"],
+            )
 
     return fn
 
@@ -720,7 +740,102 @@ def simhash_signatures(
             T.StructField("sim_hi", T.LongType()),
         ]
     )
-    return pre.mapInPandas(_simhash_batch_fn(), schema)
+    return pre.mapInArrow(_simhash_batch_fn(), schema)
+
+
+def _simhash_bucket_pair_fn(max_hamming: int, small_max: int = 64, row_chunk: int = 256):
+    """Per-bucket pairwise hamming, vectorized in numpy over whole buckets.
+
+    Input batches hold one row per (band, bucket) group: a
+    list<struct<id, sim_lo, sim_hi>> of the bucket's members. Small
+    buckets (n ≤ ``small_max``) are stacked per exact size so one
+    broadcasted XOR+popcount evaluates every bucket of that size at once;
+    heavy buckets run a row-chunked n×n kernel (bounded memory regardless
+    of bucket size). Popcount is a 16-bit lookup table over the int64
+    words — exact, same arithmetic as the JVM ``bit_count`` it replaces.
+
+    Why Python here at all: the r5 all-JVM band self-join emitted every
+    candidate row through the join (measured ~3.7M rows/s/core at sf1.0 —
+    482M candidates on a 2-partition probe side took 130+ s); one numpy
+    XOR over a bucket's signature array does the same comparisons at
+    >100M/s/core and only survivors ever become rows.
+    """
+    import pyarrow as pa
+
+    def fn(batches):
+        lut8 = (
+            np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1)
+            .sum(axis=1)
+            .astype(np.uint8)
+        )
+        idx16 = np.arange(65536)
+        lut16 = (lut8[idx16 >> 8] + lut8[idx16 & 255]).astype(np.uint8)
+
+        def pop64(x: np.ndarray) -> np.ndarray:
+            # little-endian view: 4 uint16 words per int64
+            x = np.ascontiguousarray(x)
+            return lut16[x.view(np.uint16).reshape(x.shape + (4,))].sum(
+                axis=-1, dtype=np.int64
+            )
+
+        for batch in batches:
+            members = batch.column(0)
+            offsets = members.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = members.values
+            ids = vals.field("id").to_numpy(zero_copy_only=False).astype(np.int64)
+            lo = vals.field("sim_lo").to_numpy(zero_copy_only=False).astype(np.int64)
+            hi = vals.field("sim_hi").to_numpy(zero_copy_only=False).astype(np.int64)
+            sizes = np.diff(offsets)
+            starts = offsets[:-1]
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            out_h: list[np.ndarray] = []
+
+            small = (sizes >= 2) & (sizes <= small_max)
+            for s in np.unique(sizes[small]):
+                st = starts[small & (sizes == s)]
+                gather = st[:, None] + np.arange(s)[None, :]  # (k, s)
+                l, h, d = lo[gather], hi[gather], ids[gather]
+                iu, ju = np.triu_indices(int(s), k=1)
+                hm = pop64(l[:, iu] ^ l[:, ju]) + pop64(h[:, iu] ^ h[:, ju])
+                ki, pi = np.nonzero(hm <= max_hamming)
+                if len(ki):
+                    out_a.append(d[ki, iu[pi]])
+                    out_b.append(d[ki, ju[pi]])
+                    out_h.append(hm[ki, pi])
+
+            for b in np.nonzero(sizes > small_max)[0]:
+                sl = slice(starts[b], starts[b] + sizes[b])
+                l, h, d = lo[sl], hi[sl], ids[sl]
+                n = int(sizes[b])
+                for r0 in range(0, n, row_chunk):
+                    r1 = min(n, r0 + row_chunk)
+                    hm = pop64(l[r0:r1, None] ^ l[None, :]) + pop64(
+                        h[r0:r1, None] ^ h[None, :]
+                    )
+                    ri, ci = np.nonzero(hm <= max_hamming)
+                    keep = ci > ri + r0  # each unordered pair once, by position
+                    if keep.any():
+                        ri, ci = ri[keep], ci[keep]
+                        out_a.append(d[ri + r0])
+                        out_b.append(d[ci])
+                        out_h.append(hm[ri, ci])
+
+            if out_a:
+                ia = np.concatenate(out_a)
+                ib = np.concatenate(out_b)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.minimum(ia, ib), type=pa.int64()),
+                        pa.array(np.maximum(ia, ib), type=pa.int64()),
+                        pa.array(
+                            np.concatenate(out_h).astype(np.int32), type=pa.int32()
+                        ),
+                    ],
+                    names=["id_a", "id_b", "hamming"],
+                )
+
+    return fn
 
 
 def simhash_pairs(
@@ -734,28 +849,46 @@ def simhash_pairs(
 
     Blocking: by pigeonhole, a pair within hamming 6 has ≥2 of the 8 8-bit
     bands clean — so candidates are keyed on PAIRS of bands (28 composite
-    16-bit keys), still recall 1, with far fewer and far flatter collisions
-    than single bands: on a correlated web corpus single 8-bit bands are
-    low-entropy (worst bucket held 26% of the fixture corpus — a built-in
-    skew-join), while composite keys spread it (measured 20M → 4.8M
-    candidate rows, worst bucket 2667 → 558, at sf0.1). The hamming check
-    is ``bit_count(a XOR b)`` over the two 32-bit halves — JVM built-ins
-    throughout.
+    16-bit keys), recall 1, with far fewer and far flatter collisions than
+    single bands (worst single-band bucket held 26% of the fixture corpus).
 
-    Plan order matters at scale too: the hamming filter is a cheap map-side
-    expression, so it runs on the raw band-join output BEFORE the distinct —
-    deduping only survivors instead of shuffling every collision.
-    Signatures are materialized once to a scratch parquet table (both join
-    sides read it; production: an explicit signatures table).
+    Candidate *evaluation* (r6 rewrite): buckets are grouped once
+    (`groupBy(band, bucket).collect_list`) and each bucket's pairwise
+    hamming matrix is evaluated by a vectorized numpy kernel
+    (``_simhash_bucket_pair_fn``) instead of a band self-join. The r5
+    self-join materialized every candidate pair as a joined row (482M
+    rows at sf1.0, emitted at ~3.7M rows/s/core on however many
+    partitions the tiny signature scan produced — 2); the kernel does
+    the identical XOR+popcount comparisons inside numpy at >100M/s/core
+    and emits only survivors. An explicit keyed ``repartition`` pins the
+    kernel's parallelism (AQE would coalesce the ~100 MB shuffle to a
+    couple of partitions, serializing the quadratic work; the explicit
+    partition count scales with ``defaultParallelism``, not a constant).
+    ``distinct`` stays: a pair is found once per clean band-pair.
+
+    Scale bound (honest): one bucket's members must fit one task's memory
+    (24 B/member — 10^7-member buckets ≈ 240 MB). The r5 join had the
+    same practical bound in expansion form (n² joined rows through one
+    task); at web scale both want a document-frequency-style cut on
+    degenerate buckets first.
+
+    ``scratch_dir`` is accepted for API compatibility but unused since
+    r6: signatures flow straight into the bucket shuffle (single
+    consumer), so nothing needs materializing.
     """
     import itertools
 
+    sc = docs.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism * 2, 8)
+    # The signature pass + 28-way band explode + bucket-shuffle write all
+    # run on the SOURCE's partitioning; a small parquet corpus scans as 1-2
+    # partitions, serializing the md5 prehash and the shuffle map side
+    # (measured: 23s → 10s at sf1.0). The text payload moves once, and
+    # only when the scan is genuinely under-parallel — a production-scale
+    # input with enough splits skips the shuffle entirely.
+    if docs.rdd.getNumPartitions() < n_parts:
+        docs = docs.repartition(n_parts)
     sigs = simhash_signatures(docs, key_col, text_col)
-    if scratch_dir is None:
-        scratch_dir = scratch_table_dir(docs.sparkSession)
-    sig_path = os.path.join(scratch_dir, "signatures.parquet")
-    sigs.write.mode("overwrite").parquet(sig_path)
-    sigs = docs.sparkSession.read.parquet(sig_path)
 
     def band_bits(i: int):
         # bands 0-3 slice sim_lo, bands 4-7 slice sim_hi (8 bits each)
@@ -777,24 +910,21 @@ def simhash_pairs(
     buckets = sigs.select("id", "sim_lo", "sim_hi", composite.alias("bb")).select(
         "id", "sim_lo", "sim_hi", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    x = buckets.select(
-        "band", "bucket", F.col("id").alias("id_a"),
-        F.col("sim_lo").alias("lo_a"), F.col("sim_hi").alias("hi_a"),
+    grouped = (
+        buckets.repartition(n_parts, "band", "bucket")
+        .groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("id", "sim_lo", "sim_hi")).alias("members"))
+        .filter(F.size("members") >= 2)
+        .select("members")
     )
-    y = buckets.select(
-        "band", "bucket", F.col("id").alias("id_b"),
-        F.col("sim_lo").alias("lo_b"), F.col("sim_hi").alias("hi_b"),
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("hamming", T.IntegerType()),
+        ]
     )
-    ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
-        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
-    )
-    return (
-        x.join(y, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    return grouped.mapInArrow(_simhash_bucket_pair_fn(max_hamming), schema).distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -214,10 +214,12 @@ def test_scratch_default_is_warehouse_relative_and_cleaned(spark):
 
     docs = D.augmented_docs(spark.read.parquet(f"{SF001}/documents.parquet"))
     D.minhash_lsh_pairs(docs, threshold=0.6).count()
+    # r6: simhash_pairs no longer materializes scratch (signatures flow
+    # straight into the bucket shuffle) — it must NOT register a dir
     D.simhash_pairs(docs, max_hamming=6).count()
 
     created = set(D._SCRATCH_CLEANUP) - before
-    assert len(created) == 2, f"expected 2 registered scratch dirs, got {created}"
+    assert len(created) == 1, f"expected 1 registered scratch dir, got {created}"
     for d in created:
         assert d.startswith(wh_local.rstrip("/") + "/_scratch/"), d
         assert os.path.isdir(d)
