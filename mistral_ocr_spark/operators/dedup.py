@@ -71,6 +71,23 @@ def scratch_table_dir(spark: SparkSession) -> str:
     return d
 
 
+def ensure_min_parallelism(df: DataFrame, factor: int = 2, floor: int = 8) -> DataFrame:
+    """Round-robin repartition IFF the plan's current partitioning is below
+    ``defaultParallelism * factor`` — the guard for compute-heavy kernels
+    (per-gram md5, mapInArrow signatures, explodes) whose parallelism is
+    otherwise inherited from the SOURCE scan. A small parquet table (one
+    row group) scans as a single partition, serializing everything up to
+    the first shuffle; at production scale the input has enough splits and
+    this is a no-op — the threshold scales with the cluster, never a
+    constant tuned to one box. The repartition moves the (small) input
+    once; the heavy derived work then runs wide."""
+    sc = df.sparkSession.sparkContext
+    n = max(sc.defaultParallelism * factor, floor)
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _perm_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rs = np.random.RandomState(seed)
     a = rs.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
@@ -156,6 +173,8 @@ def cross_doc_line_dedup(
     hash collision merely drops an innocent line along with the colliding
     boilerplate one).
     """
+    # the line explode + regex strip inherit the source scan's partitioning
+    docs = ensure_min_parallelism(docs)
     lines = docs.select(
         F.col(key_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_line"),
@@ -316,21 +335,60 @@ def jaccard_pairs_exact(
 # ---------------------------------------------------------------------------
 
 def _minhash_batch_fn(num_hashes: int):
+    """Vectorized across the WHOLE Arrow batch (r6: the r5 version looped
+    per doc — ~80 µs of numpy-call overhead per row dominated the
+    signature stage). The shingle-hash list column arrives as one flat
+    child array plus offsets; all permutations evaluate in one (W, H)
+    matrix op and ``np.minimum.reduceat`` takes each doc's per-permutation
+    min in a single pass. Arithmetic is bit-identical to the r5 loop
+    (same uint64 wrap, same mod, same & _MAX32 fold)."""
     a, b = _perm_params(num_hashes)
 
     def fn(batches):
-        for pdf in batches:
-            sigs = []
-            for hashes in pdf["sh_hash"]:
-                if hashes is None or len(hashes) == 0:  # NULL text → sentinel sig
-                    sigs.append([int(_MAX32)] * num_hashes)
-                    continue
-                # shingle hashes arrive pre-computed (JVM xxhash64);
-                # fold signed int64 → uint64, then per-permutation min
-                base = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
-                m = (np.outer(base, a) + b) % _MERSENNE
-                sigs.append((m.min(axis=0) & _MAX32).astype(np.int64).tolist())
-            yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            col = batch.column(1)
+            n_rows = batch.num_rows
+            offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = (
+                col.values.to_numpy(zero_copy_only=False)
+                .astype(np.int64)[offsets[0] : offsets[-1]]
+                .astype(np.uint64)
+            )
+            n = np.diff(offsets)
+            valid = n > 0
+            if col.null_count:
+                valid &= np.asarray(col.is_valid())  # NULL text → sentinel sig
+            sigs = np.full((n_rows, num_hashes), _MAX32, dtype=np.uint64)
+            if valid.any():
+                starts = offsets[:-1][valid] - offsets[0]
+                # one permutation at a time over the flat 1-D stream: the
+                # working set stays cache-sized (the (W, H) matrix form
+                # measured 9× slower — memory-bound temporaries); same
+                # uint64 wrap arithmetic as np.outer, bit-identical sigs
+                mins = np.empty((int(valid.sum()), num_hashes), dtype=np.uint64)
+                t = np.empty_like(flat)
+                for h in range(num_hashes):
+                    np.multiply(flat, a[h], out=t)
+                    t += b[h]
+                    t %= _MERSENNE
+                    mins[:, h] = np.minimum.reduceat(t, starts)
+                sigs[valid] = mins & _MAX32
+            out = sigs.astype(np.int64).ravel()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.ListArray.from_arrays(
+                        pa.array(
+                            np.arange(n_rows + 1, dtype=np.int32) * num_hashes
+                        ),
+                        pa.array(out, type=pa.int64()),
+                    ),
+                ],
+                names=["id", "sig"],
+            )
 
     return fn
 
@@ -346,7 +404,7 @@ def _signatures_from_shingle_hashes(sh: DataFrame, num_hashes: int) -> DataFrame
             T.StructField("sig", T.ArrayType(T.LongType())),
         ]
     )
-    return sh.select("id", F.col("shingles").alias("sh_hash")).mapInPandas(
+    return sh.select("id", F.col("shingles").alias("sh_hash")).mapInArrow(
         _minhash_batch_fn(num_hashes), schema
     )
 
@@ -425,6 +483,7 @@ def minhash_lsh_pairs(
     prefilter: bool = True,
     est_margin: float | None = None,
     scratch_dir: str | None = None,
+    spread_input: bool = True,
 ) -> DataFrame:
     """Near-dup pairs ≥ threshold: LSH banding for candidates, then exact
     word-3-gram Jaccard verification (so output = exact answer set, with
@@ -445,6 +504,13 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     if scratch_dir is None:
         scratch_dir = scratch_table_dir(docs.sparkSession)
+    # the shingle-hash kernel + signature pass inherit the source scan's
+    # partitioning (both scratch writes serialize on a 1-2 partition scan).
+    # ``spread_input=False`` opts out for fixture-scale inputs where the
+    # extra task waves cost more than the serial kernel (size-only plan
+    # stats cannot see a filter's selectivity, so the caller decides).
+    if spread_input:
+        docs = ensure_min_parallelism(docs)
     sigs = minhash_signatures(docs, num_hashes, key_col, text_col)
     if prefilter:
         sig_path = os.path.join(scratch_dir, "signatures.parquet")
@@ -677,14 +743,19 @@ def _simhash_batch_fn():
         """32-bit majority signature per row of a list<int64> column."""
         sig = np.zeros(n_rows, dtype=np.int64)
         offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        # slice by the batch's own offsets: .values spans the whole child
+        # buffer even for a sliced ListArray, and reduceat's final segment
+        # runs to the end of whatever array it is given
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)[
+            offsets[0] : offsets[-1]
+        ]
         n = np.diff(offsets)
         valid = n > 0
         if col.null_count:
             valid &= np.asarray(col.is_valid())  # NULL text → all-zero sig
         if not valid.any():
             return sig
-        starts = offsets[:-1][valid]
+        starts = offsets[:-1][valid] - offsets[0]
         bits = (flat[:, None] >> shifts) & 1  # (total_words, 32)
         # reduceat segment i spans [starts[i], starts[i+1]): exactly row
         # i's words (skipped empty/null rows contribute no flat elements)
@@ -881,13 +952,9 @@ def simhash_pairs(
     sc = docs.sparkSession.sparkContext
     n_parts = max(sc.defaultParallelism * 2, 8)
     # The signature pass + 28-way band explode + bucket-shuffle write all
-    # run on the SOURCE's partitioning; a small parquet corpus scans as 1-2
-    # partitions, serializing the md5 prehash and the shuffle map side
-    # (measured: 23s → 10s at sf1.0). The text payload moves once, and
-    # only when the scan is genuinely under-parallel — a production-scale
-    # input with enough splits skips the shuffle entirely.
-    if docs.rdd.getNumPartitions() < n_parts:
-        docs = docs.repartition(n_parts)
+    # run on the SOURCE's partitioning (measured: 23s → 10s at sf1.0 when
+    # the corpus scanned as 2 partitions).
+    docs = ensure_min_parallelism(docs)
     sigs = simhash_signatures(docs, key_col, text_col)
 
     def band_bits(i: int):
@@ -991,7 +1058,7 @@ def decontaminate(
     # with the word split re-expanded per element_at: measured 26 s → 0.55 s
     # on the sf0.1 corpus, r4). Gram arrays are never empty (short docs
     # produce one whole-text gram), so outer == inner here.
-    d = with_ngram_hashes(docs, n, text_col).select(
+    d = with_ngram_hashes(ensure_min_parallelism(docs), n, text_col).select(
         F.col(id_col), F.explode_outer("ngram_hashes").alias("_g")
     )
     b = (
@@ -1109,6 +1176,9 @@ def exact_substring_dedup(
     spark = docs.sparkSession
     if scratch_dir is None:
         scratch_dir = scratch_table_dir(spark)
+    # word split + the O(n·k) window-hash kernel downstream inherit the
+    # source scan's partitioning — spread before the scratch write
+    docs = ensure_min_parallelism(docs)
     ws_path = os.path.join(scratch_dir, "exsub_words.parquet")
     docs.select(
         F.col(id_col), words_expr(F.col(text_col)).alias("_ws")

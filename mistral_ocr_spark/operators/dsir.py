@@ -162,6 +162,13 @@ def dsir_weights(
     Plan: raw grams explode → broadcast-join λ (≤B rows) → groupBy(id).
     Documents with zero grams keep a row with logw = 0 (left-join anchor
     on the input ids — the line-dedup anchoring rule)."""
+    from mistral_ocr_spark.operators.dedup import ensure_min_parallelism
+
+    # the per-gram md5 bucketing (the dominant cost, ×3 subplans over raw)
+    # inherits the SOURCE scan's partitioning — spread it first (no-op on
+    # an already-parallel input; see ensure_min_parallelism)
+    raw = ensure_min_parallelism(raw)
+    target = ensure_min_parallelism(target)
     lam = log_ratio_table(
         bucket_counts(raw, text_col, id_col, n_buckets, salt),
         bucket_counts(target, text_col, id_col, n_buckets, salt),

@@ -60,14 +60,29 @@ def doc_features(
     Grams = unigrams + bigrams, bucketed with DSIR's portable md5-prefix
     hash so any engine can replay featurization. Zero-gram docs yield no
     rows (callers anchor on input ids; both train and score do)."""
-    b = dsir._doc_buckets(df, text_col, id_col, n_buckets, salt)
-    cnt = b.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).cast("double").alias("_c")
+    # total grams per doc is known BEFORE the explode: |w| unigrams plus
+    # max(|w|-1, 0) bigrams — carried through the explode as a column, so
+    # the L1 normalizer needs no second exchange (r6: replaces a
+    # Window.partitionBy(id) sum that re-shuffled + sorted every
+    # (id, bucket) row; the value is the identical integer-valued double,
+    # so x is bit-for-bit unchanged)
+    wdf = df.select(F.col(id_col), dsir.words_expr(F.col(text_col)).alias("_ws"))
+    nw = F.size("_ws")
+    g = wdf.select(
+        F.col(id_col),
+        F.explode_outer(dsir.grams_from_words(F.col("_ws"))).alias("gram"),
+        (nw + F.greatest(nw - F.lit(1), F.lit(0))).cast("double").alias("_tot"),
+    ).filter(F.col("gram").isNotNull())
+    cnt = (
+        g.select(
+            F.col(id_col),
+            dsir.gram_bucket(F.col("gram"), n_buckets, salt).alias("bucket"),
+            "_tot",
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"), F.first("_tot").alias("_t"))
     )
-    from pyspark.sql import Window
-
-    tot = F.sum("_c").over(Window.partitionBy(id_col))
-    return cnt.select(id_col, "bucket", (F.col("_c") / tot).alias("x"))
+    return cnt.select(id_col, "bucket", (F.col("_c") / F.col("_t")).alias("x"))
 
 
 def _sigmoid(z: np.ndarray) -> np.ndarray:
@@ -111,6 +126,11 @@ def train_quality_classifier(
     # first would pay the gram explode + both shuffles for rows the
     # train join then discards (review catch)
     labeled = labeled.filter(F.col(label_col).isNotNull())
+    # per-gram md5 featurization inherits the source scan's partitioning —
+    # spread it (no-op on an already-parallel input)
+    from mistral_ocr_spark.operators.dedup import ensure_min_parallelism
+
+    labeled = ensure_min_parallelism(labeled)
     feats = doc_features(labeled, text_col, id_col, n_buckets, salt)
     ydf = labeled.select(
         F.col(id_col), F.col(label_col).cast("double").alias("_y")
@@ -131,8 +151,14 @@ def train_quality_classifier(
         )
     )
     train_path = os.path.join(scratch_dir, "qclf_train.parquet")
+    # explicit repartition before the write: AQE otherwise coalesces the
+    # tiny join output to one file, and every GD iteration would then run
+    # its mapInPandas gradient pass single-threaded (scales with
+    # defaultParallelism; the scratch set is small by construction)
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
     (
         ydf.join(per_doc, id_col, "left")
+        .repartition(n_parts, id_col)  # keyed: no sort-before-repartition
         .select(
             "_y",
             F.coalesce("_bs", F.array().cast("array<bigint>")).alias("_bs"),
@@ -153,21 +179,39 @@ def train_quality_classifier(
         bc = sc.broadcast((w, bias))
 
         def _grad(batches):
+            # Arrow batches: the ragged (_bs, _xs) arrays arrive as ONE
+            # flat child buffer + offsets per batch — zero-copy numpy,
+            # no per-row list materialization (r6: the pandas form spent
+            # most of each GD iteration converting 50k object-dtype
+            # lists; the math below is unchanged)
+            import pyarrow as pa
+
             bw, bb = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
+            for batch in batches:
+                if batch.num_rows == 0:
                     continue
-                lens = pdf["_bs"].str.len().to_numpy(dtype=np.int64)
-                y = pdf["_y"].to_numpy(dtype=np.float64)
+                y = batch.column(0).to_numpy(zero_copy_only=False).astype(np.float64)
+                bs, xs = batch.column(1), batch.column(2)
+                offs = bs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                lens = np.diff(offs)
                 if lens.sum() == 0:
-                    dots = np.zeros(len(pdf))
+                    dots = np.zeros(batch.num_rows)
                     fb = np.empty(0, dtype=np.int64)
                     fx = np.empty(0, dtype=np.float64)
                 else:
-                    fb = np.concatenate(pdf["_bs"].to_numpy()).astype(np.int64)
-                    fx = np.concatenate(pdf["_xs"].to_numpy()).astype(np.float64)
-                    seg = np.repeat(np.arange(len(pdf)), lens)
-                    dots = np.bincount(seg, weights=fx * bw[fb], minlength=len(pdf))
+                    # slice by this batch's own offsets: .values spans the
+                    # whole child buffer even for a sliced ListArray
+                    xoffs = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                    fb = bs.values.to_numpy(zero_copy_only=False).astype(np.int64)[
+                        offs[0] : offs[-1]
+                    ]
+                    fx = xs.values.to_numpy(zero_copy_only=False).astype(np.float64)[
+                        xoffs[0] : xoffs[-1]
+                    ]
+                    seg = np.repeat(np.arange(batch.num_rows), lens)
+                    dots = np.bincount(
+                        seg, weights=fx * bw[fb], minlength=batch.num_rows
+                    )
                 p = _sigmoid(dots + bb)
                 err = p - y
                 gvec = (
@@ -179,16 +223,17 @@ def train_quality_classifier(
                 loss = -np.sum(
                     y * np.log(p + eps) + (1.0 - y) * np.log(1.0 - p + eps)
                 )
-                yield pd.DataFrame(
-                    {
-                        "g": [gvec.tobytes()],
-                        "gb": [float(err.sum())],
-                        "n": [int(len(pdf))],
-                        "loss": [float(loss)],
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([gvec.tobytes()], type=pa.binary()),
+                        pa.array([float(err.sum())], type=pa.float64()),
+                        pa.array([int(batch.num_rows)], type=pa.int64()),
+                        pa.array([float(loss)], type=pa.float64()),
+                    ],
+                    names=["g", "gb", "n", "loss"],
                 )
 
-        parts = tdf.mapInPandas(
+        parts = tdf.mapInArrow(
             _grad, "g binary, gb double, n bigint, loss double"
         ).collect()
         bc.unpersist()
@@ -248,6 +293,9 @@ def quality_score(
     spark = df.sparkSession
     with open(f"{model_dir}/meta.json") as f:
         meta = json.load(f)
+    from mistral_ocr_spark.operators.dedup import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     wdf = spark.read.parquet(f"{model_dir}/weights")
     feats = doc_features(
         df, text_col, id_col, int(meta["n_buckets"]), meta["salt"]

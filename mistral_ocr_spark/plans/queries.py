@@ -1079,7 +1079,9 @@ def _chain_docs(spark, sf_dir):
 @_q("dedup_clusters", _CLUSTERS_ORACLE)
 def dedup_clusters(spark, sf_dir):
     aug = _chain_docs(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(aug, threshold=0.6)
+    # spread_input=False: the chain corpus is a 600-row fixture at every
+    # SF — input spreading's extra task waves cost more than they save
+    pairs = D.minhash_lsh_pairs(aug, threshold=0.6, spread_input=False)
     labels = G.connected_components(pairs, nodes=aug.select("doc_id"))
     return G.with_cluster_sizes(labels).select(
         F.col("node").alias("doc_id"), "cluster_id", "cluster_size"
