@@ -191,9 +191,15 @@ def web_quality_signals(
         .withColumn("short_line_frac", short_frac)
     )
     carry = ["n_lines", "punct_line_frac", "short_line_frac"] + user_carry
+    # explicit partition count: an UNPINNED keyed repartition is coalesced
+    # by AQE to match the (small) compact-row bytes, which would run the
+    # 30×-fanout explode + per-word work downstream on 1-2 partitions;
+    # the count scales with the cluster, and HashPartitioning(id, n)
+    # still satisfies both downstream aggregations' distribution
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
     words = (
         df.select(F.col(id_col), F.col(text_col), *[F.col(c) for c in carry])
-        .repartition(F.col(id_col))
+        .repartition(n_parts, F.col(id_col))
         .select(
             F.col(id_col),
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w"),
@@ -316,9 +322,13 @@ def _bm25_score(
 
 
 def _bm25_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    # pinned partition count: see web_quality_signals — an unpinned keyed
+    # repartition gets AQE-coalesced to the compact-row bytes and the
+    # explode downstream then runs near-serial
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
     return (
         df.select(F.col(id_col), F.col(text_col))
-        .repartition(F.col(id_col))
+        .repartition(n_parts, F.col(id_col))
         .select(
             F.col(id_col),
             F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_w"),
@@ -351,6 +361,12 @@ def bm25_index(
     postings = words.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_tf"))
     (
         postings.withColumn("_b", F.pmod(F.xxhash64("_w"), F.lit(n_buckets)))
+        # align tasks with the partition dirs before the write: without
+        # this every aggregation task writes a file into every bucket dir
+        # it touches (measured 1,408 files for a 64-bucket index at sf1.0
+        # — r6; guide §6 small-files rule). One exchange of the compact
+        # postings rows buys one file per bucket dir.
+        .repartition(n_buckets, F.col("_b"))
         .write.mode("overwrite")
         .partitionBy("_b")
         .parquet(f"{index_dir}/postings")
@@ -514,6 +530,9 @@ def ngram_lm_train(
     shuffle as AQE decides — no forced broadcast (the standing policy).
     """
     spark = corpus.sparkSession
+    from mistral_ocr_spark.operators.dedup import ensure_min_parallelism
+
+    corpus = ensure_min_parallelism(corpus)
     # explode_outer everywhere a named computed array is exploded: the
     # InferFiltersFromGenerate rule would otherwise re-evaluate the split
     # kernel inside an inferred size()>0 filter (the r4 lesson); the
@@ -593,6 +612,9 @@ def lm_perplexity(
     they fit), one groupBy(id) — no window, no collect, no Python.
     """
     spark = docs.sparkSession
+    from mistral_ocr_spark.operators.dedup import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs)
     uni = spark.read.parquet(f"{lm_dir}/unigrams")
     big = spark.read.parquet(f"{lm_dir}/bigrams")
     stats = spark.read.parquet(f"{lm_dir}/stats")

@@ -679,7 +679,9 @@ def _bpe_merged_count_sql(text_sql: str = "text") -> str:
     "FROM documents",
 )
 def token_counts(spark, sf_dir):
-    d = X.with_token_count(_t(spark, sf_dir, "documents"))
+    # per-character interpreted aggregate (rhash) + BPE fold below are
+    # pure map work — spread the 1-row-group scan first (physical only)
+    d = X.with_token_count(D.ensure_min_parallelism(_t(spark, sf_dir, "documents")))
     n_pretokens, n_bpe = bpe_token_count_cols("text")
     norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     rhash = F.aggregate(
