@@ -511,7 +511,17 @@ def minhash_lsh_pairs(
     # stats cannot see a filter's selectivity, so the caller decides).
     if spread_input:
         docs = ensure_min_parallelism(docs)
-    sigs = minhash_signatures(docs, num_hashes, key_col, text_col)
+    # ONE shingle-kernel pass over the corpus (r6): the hashed-shingle
+    # table is materialized first and signatures derive from the scratch
+    # read — the r5 order computed the identical shingle kernel twice
+    # (once under the signature pass, once for the verify table).
+    sh_src = with_shingle_hashes(docs, text_col).select(
+        F.col(key_col).alias("id"), "shingles"
+    )
+    sh_path = os.path.join(scratch_dir, "shingle_hashes.parquet")
+    sh_src.write.mode("overwrite").parquet(sh_path)
+    sh = docs.sparkSession.read.parquet(sh_path)
+    sigs = _signatures_from_shingle_hashes(sh, num_hashes)
     if prefilter:
         sig_path = os.path.join(scratch_dir, "signatures.parquet")
         sigs.write.mode("overwrite").parquet(sig_path)
@@ -530,18 +540,11 @@ def minhash_lsh_pairs(
         if est_margin is None:
             est_margin = hoeffding_margin(num_hashes)
         cand = _estimate_prefilter(cand, sigs, num_hashes, threshold, est_margin)
-    # Exact verification runs on HASHED shingles (int64 arrays instead of
-    # ~20-byte strings): identical set sizes and intersections up to a
-    # ~n²/2^64 collision probability, at a fraction of the verify join's
-    # shuffle volume. The hashed-shingle table is materialized once to
-    # scratch parquet (both join sides read it; no persist() — zero cache
+    # Exact verification reads the same hashed-shingle scratch table
+    # (int64 arrays instead of ~20-byte strings: identical set sizes and
+    # intersections up to a ~n²/2^64 collision probability, at a fraction
+    # of the verify join's shuffle volume; no persist() — zero cache
     # blocks left behind in a long-lived session).
-    sh = with_shingle_hashes(docs, text_col).select(
-        F.col(key_col).alias("id"), "shingles"
-    )
-    sh_path = os.path.join(scratch_dir, "shingle_hashes.parquet")
-    sh.write.mode("overwrite").parquet(sh_path)
-    sh = docs.sparkSession.read.parquet(sh_path)
     return _exact_verify_pairs(cand, sh, threshold)
 
 
@@ -843,10 +846,12 @@ def _simhash_bucket_pair_fn(max_hamming: int, small_max: int = 64, row_chunk: in
         lut16 = (lut8[idx16 >> 8] + lut8[idx16 & 255]).astype(np.uint8)
 
         def pop64(x: np.ndarray) -> np.ndarray:
-            # little-endian view: 4 uint16 words per int64
-            x = np.ascontiguousarray(x)
-            return lut16[x.view(np.uint16).reshape(x.shape + (4,))].sum(
-                axis=-1, dtype=np.int64
+            # sim_lo/sim_hi are 32-bit halves stored in int64, so any XOR
+            # is < 2^32: two 16-bit LUT lookups cover it (measured ~2× the
+            # 4-lookup uint16-view form)
+            return (
+                lut16[x & 0xFFFF].astype(np.int64)
+                + lut16[(x >> 16) & 0xFFFF]
             )
 
         for batch in batches:
@@ -1155,8 +1160,9 @@ def exact_substring_dedup(
        span repeated 10^8 times corpus-wide would funnel every
        occurrence into one sorting WindowExec task (a straggler AQE
        cannot split), while AQE's skew-join handling CAN split the
-       equivalent hot join partition. The price is the window kernel
-       evaluating once per branch (2×) over the cheap scratch read.
+       equivalent hot join partition. The occurrence stream itself is
+       materialized to scratch (r6), so the window kernel evaluates
+       exactly ONCE regardless of how many branches read it.
     4. Non-winner duplicate starts shuffle once on the doc key; maximal
        covered intervals come from the classic run-split (new run when
        start gap > k — fixed-length-k intervals merge iff gap ≤ k), so
@@ -1206,6 +1212,14 @@ def exact_substring_dedup(
         .filter(F.col("_w").isNotNull())
         .select(id_col, "_w.start", "_w.h1", "_w.h2")
     )
+    # materialize the occurrence stream once: it feeds BOTH the key
+    # aggregate and the join probe below, and re-evaluating the O(n·k)
+    # slice-hash kernel per branch measured 4.4s vs ~2s for write+reads
+    # at sf1.0 (r6) — compact (id, start, h1, h2) rows, a fraction of the
+    # kernel's cost to persist
+    occ_path = os.path.join(scratch_dir, "exsub_occ.parquet")
+    occ.write.mode("overwrite").parquet(occ_path)
+    occ = spark.read.parquet(occ_path)
 
     # -- 2. count + winner: map-side-combined agg + skew-splittable join --
     site = F.struct(F.col(id_col), F.col("start"))

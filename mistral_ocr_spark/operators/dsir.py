@@ -162,22 +162,34 @@ def dsir_weights(
     Plan: raw grams explode → broadcast-join λ (≤B rows) → groupBy(id).
     Documents with zero grams keep a row with logw = 0 (left-join anchor
     on the input ids — the line-dedup anchoring rule)."""
-    from mistral_ocr_spark.operators.dedup import ensure_min_parallelism
+    import os
 
-    # the per-gram md5 bucketing (the dominant cost, ×3 subplans over raw)
-    # inherits the SOURCE scan's partitioning — spread it first (no-op on
-    # an already-parallel input; see ensure_min_parallelism)
+    from mistral_ocr_spark.operators.dedup import (
+        ensure_min_parallelism,
+        scratch_table_dir,
+    )
+
+    # the per-gram md5 bucketing (the dominant cost over raw) inherits the
+    # SOURCE scan's partitioning — spread it first (no-op on an
+    # already-parallel input; see ensure_min_parallelism)
     raw = ensure_min_parallelism(raw)
     target = ensure_min_parallelism(target)
+    # materialize raw's (id, bucket) stream once: it feeds BOTH p̂_raw and
+    # the scoring join, and the md5 gram kernel would otherwise evaluate
+    # once per branch (r6) — compact rows, a fraction of the kernel cost
+    db = _doc_buckets(raw, text_col, id_col, n_buckets, salt)
+    db_path = os.path.join(scratch_table_dir(raw.sparkSession), "dsir_buckets.parquet")
+    db.write.mode("overwrite").parquet(db_path)
+    db = raw.sparkSession.read.parquet(db_path)
+    raw_counts = db.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     lam = log_ratio_table(
-        bucket_counts(raw, text_col, id_col, n_buckets, salt),
+        raw_counts,
         bucket_counts(target, text_col, id_col, n_buckets, salt),
         n_buckets,
         alpha,
     )
     scored = (
-        _doc_buckets(raw, text_col, id_col, n_buckets, salt)
-        .join(F.broadcast(lam), "bucket")
+        db.join(F.broadcast(lam), "bucket")
         .groupBy(id_col)
         .agg(F.sum("lam").alias("logw"))
     )

@@ -85,6 +85,56 @@ def doc_features(
     return cnt.select(id_col, "bucket", (F.col("_c") / F.col("_t")).alias("x"))
 
 
+def _train_features_fn(n_buckets: int, salt: str):
+    """Per-doc hashed-gram featurization for the TRAINING sample, done in
+    one Python pass: words (the shared ASCII ``\\s+`` split convention),
+    unigram+bigram md5-prefix buckets (hashlib md5 — byte-identical to
+    ``dsir.gram_bucket``'s ``conv(substr(md5(...),1,8),16,10) % B``), L1
+    normalization, ragged arrays sorted by bucket. Replaces the r5
+    explode → groupBy(id, bucket) → collect_list → join chain for the
+    train scratch (the labeled sample is bounded by design — the module
+    docstring's asymmetry; SCORING keeps the JVM plan). Input batches:
+    (_y double, _t string); output: (_y, _bs, _xs)."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, not Unicode \s
+    sb = ("|" + salt).encode("utf-8")
+
+    def fn(batches):
+        for pdf in batches:
+            ys, bss, xss = [], [], []
+            for y, t in zip(pdf["_y"], pdf["_t"]):
+                # trim = SPACES only (Spark F.trim), empties dropped
+                words = [w for w in ws.split((t or "").strip(" ")) if w]
+                grams = words + [
+                    words[i] + " " + words[i + 1] for i in range(len(words) - 1)
+                ]
+                if grams:
+                    counts: dict[int, int] = {}
+                    for g in grams:
+                        # first 8 md5 hex digits == first 4 digest bytes
+                        b = (
+                            int.from_bytes(
+                                hashlib.md5(g.encode("utf-8") + sb).digest()[:4],
+                                "big",
+                            )
+                            % n_buckets
+                        )
+                        counts[b] = counts.get(b, 0) + 1
+                    tot = float(len(grams))
+                    bs = sorted(counts)
+                    xs = [counts[b] / tot for b in bs]
+                else:
+                    bs, xs = [], []
+                ys.append(float(y))
+                bss.append(bs)
+                xss.append(xs)
+            yield pd.DataFrame({"_y": ys, "_bs": bss, "_xs": xss})
+
+    return fn
+
+
 def _sigmoid(z: np.ndarray) -> np.ndarray:
     # numerically stable two-sided form
     out = np.empty_like(z)
@@ -126,43 +176,22 @@ def train_quality_classifier(
     # first would pay the gram explode + both shuffles for rows the
     # train join then discards (review catch)
     labeled = labeled.filter(F.col(label_col).isNotNull())
-    # per-gram md5 featurization inherits the source scan's partitioning —
-    # spread it (no-op on an already-parallel input)
+    # the per-doc featurization kernel inherits the source scan's
+    # partitioning — spread it (no-op on an already-parallel input); the
+    # kernel output keeps that width, so the scratch parquet and every GD
+    # iteration over it run wide without a further exchange
     from mistral_ocr_spark.operators.dedup import ensure_min_parallelism
 
     labeled = ensure_min_parallelism(labeled)
-    feats = doc_features(labeled, text_col, id_col, n_buckets, salt)
-    ydf = labeled.select(
-        F.col(id_col), F.col(label_col).cast("double").alias("_y")
-    )
-    # per-doc ragged arrays, bucket-sorted for deterministic flattening;
-    # LEFT join from labels so zero-gram docs keep a (empty-array) row
-    per_doc = (
-        feats.groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("bucket", "x"))
-            ).alias("_bx")
-        )
-        .select(
-            id_col,
-            F.col("_bx.bucket").alias("_bs"),
-            F.col("_bx.x").alias("_xs"),
-        )
-    )
     train_path = os.path.join(scratch_dir, "qclf_train.parquet")
-    # explicit repartition before the write: AQE otherwise coalesces the
-    # tiny join output to one file, and every GD iteration would then run
-    # its mapInPandas gradient pass single-threaded (scales with
-    # defaultParallelism; the scratch set is small by construction)
-    n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
     (
-        ydf.join(per_doc, id_col, "left")
-        .repartition(n_parts, id_col)  # keyed: no sort-before-repartition
-        .select(
-            "_y",
-            F.coalesce("_bs", F.array().cast("array<bigint>")).alias("_bs"),
-            F.coalesce("_xs", F.array().cast("array<double>")).alias("_xs"),
+        labeled.select(
+            F.col(label_col).cast("double").alias("_y"),
+            F.col(text_col).alias("_t"),
+        )
+        .mapInPandas(
+            _train_features_fn(int(n_buckets), salt),
+            "_y double, _bs array<bigint>, _xs array<double>",
         )
         .write.mode("overwrite")
         .parquet(train_path)

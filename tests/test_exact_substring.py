@@ -138,12 +138,12 @@ def test_untouched_docs_keep_original_whitespace(spark):
 
 
 def test_window_kernel_evaluates_once_per_branch(spark):
-    """The O(n·k) slice-hash kernel must appear exactly 2× per plan branch
-    (h1+h2; the occurrence stream feeds the dup-key aggregate AND the
-    join-back, both over the words SCRATCH — never the raw text), so 4
-    total. 8 means the InferFiltersFromGenerate trap re-introduced a
-    doubled evaluation; any `split(` in the plan means the word kernel
-    escaped the scratch materialization."""
+    """The O(n·k) slice-hash kernel must not appear in the returned plan
+    AT ALL (r6: the occurrence stream is materialized to scratch before
+    the plan branches, so the kernel runs exactly once inside that write
+    — the dup-key aggregate and the join-back both read the scratch);
+    any `split(` in the plan means the word kernel escaped the words
+    scratch materialization too."""
     df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
     plan = (
         exact_substring_dedup(df, k=2)
@@ -151,7 +151,7 @@ def test_window_kernel_evaluates_once_per_branch(spark):
         .optimizedPlan()
         .toString()
     )
-    assert plan.count("slice(") == 4
+    assert plan.count("slice(") == 0
     # the anchor branch projects only (id, text) from the raw source;
     # every consumer of the words array reads the scratch parquet, so
     # the regex split kernel must not appear in the returned plan at all
