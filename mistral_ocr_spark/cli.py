@@ -438,7 +438,10 @@ def cmd_neardup(args) -> int:
     # indexed corpus (built from another table) stay numeric
     urls = ext.select("doc_id", "url")
     shown = (
-        pairs.join(urls.withColumnsRenamed({"doc_id": "id_a", "url": "url_a"}), "id_a", "left")
+        # distinct before limit (ADVICE r5): duplicate verified rows must
+        # never crowd real pairs out of the display budget
+        pairs.distinct()
+        .join(urls.withColumnsRenamed({"doc_id": "id_a", "url": "url_a"}), "id_a", "left")
         .join(urls.withColumnsRenamed({"doc_id": "id_b", "url": "url_b"}), "id_b", "left")
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(args.limit)

@@ -720,9 +720,23 @@ def minhash_lsh_pairs_incremental(
         cand = cand.unionByName(new_new)
     cand = cand.distinct()
 
-    sigs = spark.read.parquet(f"{index_dir}/signatures").unionByName(new_sigs)
+    # ADVICE r5: when increment ids overlap the index (the same-table
+    # `neardup` CLI flow), a naive union holds each overlapping id TWICE
+    # and the prefilter/verify joins fan out (measured 16 duplicate rows
+    # per distinct pair). Anti-join the index tables against the
+    # increment's ids first — the increment's freshly-signed copy wins.
+    new_ids = new_sigs.select("id")
+    sigs = (
+        spark.read.parquet(f"{index_dir}/signatures")
+        .join(new_ids, "id", "left_anti")
+        .unionByName(new_sigs)
+    )
     cand = _estimate_prefilter(cand, sigs, num_hashes, threshold, est_margin)
-    sh = spark.read.parquet(f"{index_dir}/shingles").unionByName(new_sh)
+    sh = (
+        spark.read.parquet(f"{index_dir}/shingles")
+        .join(new_ids, "id", "left_anti")
+        .unionByName(new_sh)
+    )
     return _exact_verify_pairs(cand, sh, threshold)
 
 

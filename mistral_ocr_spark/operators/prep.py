@@ -118,6 +118,12 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 }
 
 
+# kinds whose patterns consume context chars and therefore need the
+# gated second pass for back-to-back spans (see redact_pii docstring);
+# the email pattern has no context groups, so adjacency cannot skip
+_ADJACENT_RESCAN_KINDS = {"ipv4", "phone"}
+
+
 def redact_pii(
     docs: DataFrame,
     text_col: str = "text",
@@ -135,6 +141,17 @@ def redact_pii(
     Pure ``regexp_count`` + chained ``regexp_replace`` — map-side only,
     no shuffle; the identical patterns run in the DuckDB oracle (the
     pattern table is data shared by both engines, not parallel code).
+
+    Adjacent spans (ADVICE r5): the ipv4/phone patterns CONSUME their
+    leading/trailing context chars (RE2-compatible — no lookarounds), so
+    back-to-back occurrences alternate matched/skipped in one pass. A
+    SECOND pass over the once-masked text catches every survivor: after
+    pass 1, no two unmasked spans are adjacent (two consecutive skips are
+    impossible — a skipped span consumes nothing, so the next span's
+    leading separator is intact and matches), and two passes are
+    therefore a fixed point. The second pass is gated per row on the
+    first pass having matched at all, so PII-free rows (the overwhelming
+    majority of a web corpus) never pay it.
     """
     kinds = list(PII_PATTERNS) if kinds is None else kinds
     for k in kinds:
@@ -147,14 +164,38 @@ def redact_pii(
     # Pure map work inherits whatever parallelism the source has, which
     # is the right default at production scale anyway.
     out = docs
-    masked = F.col(text_col)
+    tmp: list[str] = []
+    txt = text_col
     for k in kinds:
         pat, rep = PII_PATTERNS[k]
-        out = out.withColumn(
-            f"n_{k}", F.regexp_count(masked, F.lit(pat)).cast("bigint")
-        )
-        masked = F.regexp_replace(masked, pat, rep)
-    return out.withColumn(text_col, masked)
+        n1, t1 = f"_pii_n1_{k}", f"_pii_t1_{k}"
+        # real intermediate columns (not one nested expression): each is
+        # referenced more than once below, which keeps CollapseProject
+        # from inlining the non-cheap regex kernels into every consumer
+        out = out.withColumn(n1, F.regexp_count(F.col(txt), F.lit(pat)))
+        out = out.withColumn(t1, F.regexp_replace(F.col(txt), pat, rep))
+        tmp += [n1, t1]
+        if k in _ADJACENT_RESCAN_KINDS:
+            n2, t2 = f"_pii_n2_{k}", f"_pii_t2_{k}"
+            out = out.withColumn(
+                n2,
+                F.when(
+                    F.col(n1) > 0, F.regexp_count(F.col(t1), F.lit(pat))
+                ).otherwise(F.lit(0)),
+            )
+            out = out.withColumn(
+                t2,
+                F.when(
+                    F.col(n2) > 0, F.regexp_replace(F.col(t1), pat, rep)
+                ).otherwise(F.col(t1)),
+            )
+            tmp += [n2, t2]
+            out = out.withColumn(f"n_{k}", (F.col(n1) + F.col(n2)).cast("bigint"))
+            txt = t2
+        else:
+            out = out.withColumn(f"n_{k}", F.col(n1).cast("bigint"))
+            txt = t1
+    return out.withColumn(text_col, F.col(txt)).drop(*tmp)
 
 
 _INTEGRAL_TYPES = {"byte", "tinyint", "short", "smallint", "int", "integer", "bigint", "long"}

@@ -214,6 +214,10 @@ def bpe_encode(
                 {id_col: pdf[id_col], "tokens": toks_col, "n_bpe": n_col}
             )
 
+    # the id field's type is DERIVED from the input schema (ADVICE r5: a
+    # hardcoded `long` failed or corrupted string keys — e.g. the url keys
+    # the LM CLI verbs use — at the Arrow boundary)
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        fn, f"{id_col} long, tokens array<string>, n_bpe long"
+        fn, f"{id_col} {id_type}, tokens array<string>, n_bpe long"
     )

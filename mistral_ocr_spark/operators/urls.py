@@ -269,14 +269,22 @@ def host_cap_sample(
     cap is a corpus-shaping knob, not an accounting invariant."""
     from pyspark.sql import Window
 
-    from mistral_ocr_spark.operators.sampling import _DENOM, _bucket
+    from mistral_ocr_spark.operators.sampling import _DENOM
 
     if max_per_host < 1:
         raise ValueError(f"max_per_host must be >= 1, got {max_per_host}")
+    from mistral_ocr_spark.operators.sampling import md5_prefix_long
+
     host = F.coalesce(url_host(F.col(url_col)), F.lit(""))
     hdf = df.withColumn("_host", host)
     counts = hdf.groupBy("_host").agg(F.count(F.lit(1)).alias("_hc"))
-    b = _bucket(id_col, salt, hash="md5")
+    # NULL ids hash to a pseudo-value (the shuffle_shards convention), not
+    # to a NULL bucket that the over-cap prefilter would silently drop —
+    # the module's never-silently-drop-NULL policy (ADVICE r5); non-NULL
+    # ids keep the exact _bucket md5 arithmetic
+    b = md5_prefix_long(
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")), salt, 8
+    ) % F.lit(_DENOM)
     thresh = F.least(
         F.lit(_DENOM),
         F.ceil(F.lit(2 * max_per_host * _DENOM) / F.col("_hc")),

@@ -237,6 +237,10 @@ def warc_to_pages(
     crawl's timestamps)."""
     from pyspark.sql import functions as F
 
+    if not content_types:
+        # fail loudly up front (ADVICE r5): an empty allowlist would leave
+        # ct_ok as None and `... & None` raises an opaque plan-build error
+        raise ValueError("content_types must name at least one prefix")
     ct_ok = None
     for p in content_types:
         c = F.col("http_content_type").startswith(p)

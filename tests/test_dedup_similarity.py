@@ -556,3 +556,27 @@ def test_minhash_incremental_uses_stored_params_and_prunes(spark, sf_dir, tmp_pa
     assert "PartitionFilters: [" in plan and "_bb" in plan.split("PartitionFilters")[1][:160], (
         f"bucket-dir filter not pushed to partition pruning:\n{plan[:1200]}"
     )
+
+
+def test_minhash_incremental_overlapping_ids_no_fanout(spark, sf_dir, tmp_path):
+    """ADVICE r5: when the increment's ids OVERLAP the index (the
+    same-table `neardup` CLI flow), the unioned signature/shingle tables
+    held each id twice and the prefilter/verify joins fanned out — 16
+    duplicate rows per distinct pair. The index tables are now anti-joined
+    against the increment's ids first, so every verified pair appears
+    exactly once and the pair SET equals the non-overlapping answer."""
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 30)
+    )
+    aug = D.augmented_docs(base)  # 30 docs + 30 near-dup copies
+    idx = D.minhash_index(aug, str(tmp_path / "mh_overlap"))
+    # increment = a SUBSET of the indexed corpus itself (full id overlap)
+    inc = aug.filter((F.col("doc_id") < 6) | (F.col("doc_id").between(100000, 100005)))
+    rows = D.minhash_lsh_pairs_incremental(inc, idx, threshold=0.5).collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs)), (
+        f"duplicate verified rows: {len(pairs)} rows, {len(set(pairs))} distinct"
+    )
+    assert {(i, i + 100000) for i in range(6)} <= set(pairs)

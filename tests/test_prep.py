@@ -92,6 +92,12 @@ def test_redact_pii_planted_spans(spark):
         (5, None),
         (6, "pages 100-200 300-4000 and id 8675.309.1234 stay"),
         (7, "1.2.3.4@mail.com wrote"),
+        # ADVICE r5: back-to-back spans share their separator, which the
+        # pattern consumes — the gated second pass must catch the middle
+        (8, "ips: 1.2.3.4 5.6.7.8 9.10.11.12"),
+        # digit-leading adjacent phones: the 2nd's leading separator is
+        # consumed by the 1st match, so one pass alone would skip it
+        (9, "call 555-123-4567 556-123-4567 557-123-4567 now"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in P.redact_pii(docs).collect()}
@@ -112,6 +118,11 @@ def test_redact_pii_planted_spans(spark):
     # a span consumed by an earlier kind is not re-counted by a later one
     assert got[7].text == "<EMAIL> wrote"
     assert (got[7].n_email, got[7].n_ipv4) == (1, 0)
+    # adjacent spans: every one masked, none leaked (ADVICE r5)
+    assert got[8].text == "ips: <IP> <IP> <IP>"
+    assert got[8].n_ipv4 == 3
+    assert got[9].text == "call <PHONE> <PHONE> <PHONE> now"
+    assert got[9].n_phone == 3
 
 
 def test_redact_pii_matches_duckdb_oracle(spark):
@@ -128,6 +139,7 @@ def test_redact_pii_matches_duckdb_oracle(spark):
         [
             (100001, "ping admin@site.org from 8.8.8.8 re +44 123-456-7890"),
             (100002, "no pii here at all"),
+            (100003, "ips: 1.2.3.4 5.6.7.8 9.10.11.12"),
         ],
         "doc_id long, text string",
     )
@@ -142,29 +154,43 @@ def test_redact_pii_matches_duckdb_oracle(spark):
         "CREATE VIEW documents AS SELECT doc_id, text FROM "
         "(SELECT * FROM base WHERE doc_id < 100) UNION ALL "
         "SELECT * FROM (VALUES (100001, 'ping admin@site.org from 8.8.8.8 re +44 123-456-7890'), "
-        "(100002, 'no pii here at all')) v(doc_id, text)"
+        "(100002, 'no pii here at all'), "
+        "(100003, 'ips: 1.2.3.4 5.6.7.8 9.10.11.12')) v(doc_id, text)"
     )
-    # identical patterns; replacements translate Java's $n to RE2's \n
+    # identical patterns; replacements translate Java's $n to RE2's \n.
+    # ipv4/phone get the gated SECOND pass (ADVICE r5 adjacency fix) —
+    # the oracle mirrors redact_pii's two-pass-per-context-kind shape.
     pats = {k: P.PII_PATTERNS[k][0] for k in ("email", "ipv4", "phone")}
     reps = {k: P.PII_PATTERNS[k][1].replace("$", "\\") for k in pats}
-    # counts ride the progressively-masked text, mirroring redact_pii
     want = con.execute(
         """
 WITH m1 AS (SELECT doc_id, text AS t0,
                    regexp_replace(text, ?, ?, 'g') AS t1 FROM documents),
-m2 AS (SELECT *, regexp_replace(t1, ?, ?, 'g') AS t2 FROM m1),
-m3 AS (SELECT *, regexp_replace(t2, ?, ?, 'g') AS t3 FROM m2)
+i1 AS (SELECT *, len(regexp_extract_all(t1, ?)) AS ni1,
+              regexp_replace(t1, ?, ?, 'g') AS t2a FROM m1),
+i2 AS (SELECT *,
+       CASE WHEN ni1 > 0 THEN len(regexp_extract_all(t2a, ?)) ELSE 0 END AS ni2,
+       CASE WHEN ni1 > 0 AND len(regexp_extract_all(t2a, ?)) > 0
+            THEN regexp_replace(t2a, ?, ?, 'g') ELSE t2a END AS t2 FROM i1),
+p1 AS (SELECT *, len(regexp_extract_all(t2, ?)) AS np1,
+              regexp_replace(t2, ?, ?, 'g') AS t3a FROM i2),
+p2 AS (SELECT *,
+       CASE WHEN np1 > 0 THEN len(regexp_extract_all(t3a, ?)) ELSE 0 END AS np2,
+       CASE WHEN np1 > 0 AND len(regexp_extract_all(t3a, ?)) > 0
+            THEN regexp_replace(t3a, ?, ?, 'g') ELSE t3a END AS t3 FROM p1)
 SELECT doc_id, t3 AS text,
   CAST(len(regexp_extract_all(t0, ?)) AS BIGINT) AS n_email,
-  CAST(len(regexp_extract_all(t1, ?)) AS BIGINT) AS n_ipv4,
-  CAST(len(regexp_extract_all(t2, ?)) AS BIGINT) AS n_phone
-FROM m3 ORDER BY doc_id
+  CAST(ni1 + ni2 AS BIGINT) AS n_ipv4,
+  CAST(np1 + np2 AS BIGINT) AS n_phone
+FROM p2 ORDER BY doc_id
 """,
         [
             pats["email"], reps["email"],
-            pats["ipv4"], reps["ipv4"],
-            pats["phone"], reps["phone"],
-            pats["email"], pats["ipv4"], pats["phone"],
+            pats["ipv4"], pats["ipv4"], reps["ipv4"],
+            pats["ipv4"], pats["ipv4"], pats["ipv4"], reps["ipv4"],
+            pats["phone"], pats["phone"], reps["phone"],
+            pats["phone"], pats["phone"], pats["phone"], reps["phone"],
+            pats["email"],
         ],
     ).fetchall()
     con.close()

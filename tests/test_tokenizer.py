@@ -166,3 +166,17 @@ def test_unicode_whitespace_train_encode_agreement(spark):
     merges = TK.train_bpe(df, 8)
     out = TK.bpe_encode(df, merges).collect()[0]
     assert "".join(out.tokens) == f"a b{TK.END}a b{TK.END}c{TK.END}"
+
+
+def test_bpe_encode_string_id_column(spark):
+    """ADVICE r5: the output schema derives the id field's type from the
+    input (a hardcoded bigint broke the url-keyed LM CLI flow)."""
+    from mistral_ocr_spark.operators import tokenizer as TK
+
+    df = spark.createDataFrame(
+        [("https://a.example/x", "low lower lowest")],
+        "url string, text string",
+    )
+    merges = TK.train_bpe(df, 5)
+    out = TK.bpe_encode(df, merges, id_col="url").collect()
+    assert out[0].url == "https://a.example/x" and out[0].n_bpe > 0

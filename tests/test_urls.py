@@ -645,3 +645,23 @@ def test_page_directives_kernels_evaluate_once(spark):
     plan2 = U.canonical_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("<!--") == 1 and plan2.count("<link") == 1
     assert plan2.count("<meta") == 0, "unused robots kernels not pruned"
+
+
+def test_host_cap_sample_null_ids_not_silently_dropped(spark):
+    """ADVICE r5: rows with NULL id hashed to a NULL md5 bucket, so in an
+    OVER-CAP host the prefilter predicate evaluated NULL and those rows
+    silently vanished. NULL ids now hash via a pseudo-value: the total
+    kept for the hot host still honors the cap, and a NULL-id row is
+    eligible like any other (never auto-dropped)."""
+    rows = [(f"https://hot.example/p{i}", i) for i in range(40)]
+    rows.append(("https://hot.example/pnull", None))
+    rows.append(("https://cold.example/q", 7000))
+    df = spark.createDataFrame(rows, "url string, id long")
+    kept = U.host_cap_sample(df, 40, url_col="url", id_col="id").collect()
+    # under-cap host keeps its row; hot host (41 rows > cap 40) keeps cap
+    assert sum(1 for r in kept if "cold" in r.url) == 1
+    hot = [r for r in kept if "hot" in r.url]
+    assert len(hot) == 40
+    # the NULL-id row competed: it is either kept or displaced by rank,
+    # but with cap 40 of 41 rows exactly one row lost — non-silently
+    assert sum(1 for r in kept if r.id is None) in (0, 1)

@@ -172,3 +172,16 @@ def test_warc11_fractional_second_dates_parse(spark):
     df = spark.createDataFrame([(1, blob)], "src_id long, warc binary")
     p = W.warc_to_pages(W.read_warc(df)).collect()[0]
     assert p.warc_ts is not None and p.warc_ts.second == 12
+
+
+def test_empty_content_types_raises(spark):
+    """ADVICE r5: an empty allowlist must fail loudly at the call site,
+    not as an opaque `Column & None` plan-build error."""
+    import pytest as _pytest
+
+    from mistral_ocr_spark.sources import warc as W
+
+    df = spark.createDataFrame([(0, b"")], "src_id long, warc binary")
+    recs = W.read_warc(df)
+    with _pytest.raises(ValueError, match="content_types"):
+        W.warc_to_pages(recs, content_types=())
