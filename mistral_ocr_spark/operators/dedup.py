@@ -529,6 +529,10 @@ def minhash_lsh_pairs(
     buckets = sigs.select("id", _band_bucket_cols(bands, rows).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    # candidate generation stays a band self-join (r6: a grouped-kernel
+    # variant — the simhash treatment — was built and A/B-measured 0.5 s
+    # SLOWER here: with no per-pair filter to amortize, collect_list +
+    # Arrow overhead exceeds the join's emission cost at ~1.6M candidates)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band", "bucket"])
